@@ -1,0 +1,259 @@
+// rANS range coder for the TPU video codec framework.
+//
+// Host-side native entropy coding: the TPU computes symbols, CDF indexes and
+// quantized CDF tables; this library turns them into/out of bytes. It is the
+// native replacement for the C++ coder the reference reaches through
+// compressai (/root/reference/dmc/models/base_model.py:37 — rANS encoder /
+// decoder + pmf_to_quantized_cdf pybind11 extensions).
+//
+// Design: byte-wise rANS (state in [2^23, 2^31), 8-bit renormalization),
+// 16-bit probability precision. Out-of-range values escape through the final
+// in-range bin and are bypass-coded in 4-bit chunks. The encoder buffers
+// (start, freq) pairs and encodes in reverse so the decoder streams forward.
+// Exposed via a C ABI consumed from Python with ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kRansByteL = 1u << 23;
+constexpr int kPrecision = 16;
+constexpr int kBypassPrecision = 4;
+constexpr int32_t kMaxBypassVal = (1 << kBypassPrecision) - 1;
+
+struct RansSymbol {
+  uint16_t start;
+  uint16_t freq;  // 0 marks a bypass chunk (raw `start` bits)
+  bool bypass;
+};
+
+class Encoder {
+ public:
+  void put_symbol(uint32_t start, uint32_t freq) {
+    syms_.push_back({static_cast<uint16_t>(start),
+                     static_cast<uint16_t>(freq), false});
+  }
+  void put_bypass(int32_t val) {
+    syms_.push_back({static_cast<uint16_t>(val), 0, true});
+  }
+
+  // Encode buffered symbols in reverse; returns forward-readable bytes.
+  std::vector<uint8_t> flush() {
+    uint32_t state = kRansByteL;
+    std::vector<uint8_t> out;  // bytes emitted in reverse order
+    for (auto it = syms_.rbegin(); it != syms_.rend(); ++it) {
+      if (it->bypass) {
+        // Renormalize so the shift keeps state within [L, L<<8).
+        uint32_t x_max = ((kRansByteL << 8) >> kBypassPrecision);
+        while (state >= x_max) {
+          out.push_back(static_cast<uint8_t>(state & 0xff));
+          state >>= 8;
+        }
+        state = (state << kBypassPrecision) | (it->start & kMaxBypassVal);
+      } else {
+        uint32_t freq = it->freq;
+        uint32_t x_max = ((kRansByteL >> kPrecision) << 8) * freq;
+        while (state >= x_max) {
+          out.push_back(static_cast<uint8_t>(state & 0xff));
+          state >>= 8;
+        }
+        state = ((state / freq) << kPrecision) + (state % freq) + it->start;
+      }
+    }
+    // Flush final state (4 bytes, little-endian in decode order).
+    for (int i = 0; i < 4; ++i) {
+      out.push_back(static_cast<uint8_t>(state & 0xff));
+      state >>= 8;
+    }
+    std::vector<uint8_t> fwd(out.rbegin(), out.rend());
+    return fwd;
+  }
+
+ private:
+  std::vector<RansSymbol> syms_;
+};
+
+class Decoder {
+ public:
+  Decoder(const uint8_t* buf, int64_t n) : buf_(buf), end_(buf + n) {
+    state_ = 0;
+    for (int i = 0; i < 4; ++i) state_ = (state_ << 8) | next_byte();
+  }
+
+  // Returns the cumulative slot in [0, 2^precision).
+  uint32_t peek_cum() const { return state_ & ((1u << kPrecision) - 1); }
+
+  void advance(uint32_t start, uint32_t freq) {
+    state_ = freq * (state_ >> kPrecision) + peek_cum() - start;
+    while (state_ < kRansByteL) state_ = (state_ << 8) | next_byte();
+  }
+
+  int32_t get_bypass() {
+    int32_t val = static_cast<int32_t>(state_ & kMaxBypassVal);
+    state_ >>= kBypassPrecision;
+    while (state_ < kRansByteL) state_ = (state_ << 8) | next_byte();
+    return val;
+  }
+
+ private:
+  uint8_t next_byte() { return buf_ < end_ ? *buf_++ : 0; }
+  const uint8_t* buf_;
+  const uint8_t* end_;
+  uint32_t state_;
+};
+
+// Find symbol s with cdf[s] <= cum < cdf[s+1] (binary search over the row).
+inline int32_t find_symbol(const int32_t* cdf, int32_t cdf_len, uint32_t cum) {
+  int32_t lo = 0, hi = cdf_len - 1;  // invariant: cdf[lo] <= cum < cdf[hi]
+  while (hi - lo > 1) {
+    int32_t mid = (lo + hi) >> 1;
+    if (static_cast<uint32_t>(cdf[mid]) <= cum)
+      lo = mid;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n symbols. cdfs is (cdf_rows, cdf_stride) row-major int32; row r has
+// cdf_lengths[r] valid entries ending in 2^16. Symbol s on row r codes the
+// integer value v = s; the coded alphabet spans [0, cdf_lengths[r]-2) with the
+// final bin (cdf_lengths[r]-2) the escape symbol; `offsets[r]` shifts raw
+// values: coded = value - offsets[r].
+// Returns number of bytes written to out_buf, or -1 if out_capacity too small.
+int64_t dvc_rans_encode_with_indexes(
+    const int32_t* values, const int32_t* indexes, int64_t n,
+    const int32_t* cdfs, int64_t cdf_rows, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, uint8_t* out_buf,
+    int64_t out_capacity) {
+  (void)cdf_rows;
+  Encoder enc;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t* cdf = cdfs + idx * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[idx];
+    const int32_t max_value = cdf_len - 2;  // index of escape bin
+
+    int32_t value = values[i] - offsets[idx];
+    int32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = -2 * value - 1;
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = 2 * (value - max_value);
+      value = max_value;
+    }
+    enc.put_symbol(cdf[value], cdf[value + 1] - cdf[value]);
+
+    if (value == max_value) {
+      // Bypass-code raw_val: chunk count (unary in base-15), then chunks.
+      int32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      int32_t v = n_bypass;
+      while (v >= kMaxBypassVal) {
+        enc.put_bypass(kMaxBypassVal);
+        v -= kMaxBypassVal;
+      }
+      enc.put_bypass(v);
+      for (int32_t j = 0; j < n_bypass; ++j)
+        enc.put_bypass((raw_val >> (j * kBypassPrecision)) & kMaxBypassVal);
+    }
+  }
+  std::vector<uint8_t> bytes = enc.flush();
+  if (static_cast<int64_t>(bytes.size()) > out_capacity) return -1;
+  std::memcpy(out_buf, bytes.data(), bytes.size());
+  return static_cast<int64_t>(bytes.size());
+}
+
+// Decode n symbols from buf; writes integer values (already offset-shifted
+// back) into out_values. Returns 0 on success.
+int64_t dvc_rans_decode_with_indexes(
+    const uint8_t* buf, int64_t nbytes, const int32_t* indexes, int64_t n,
+    const int32_t* cdfs, int64_t cdf_rows, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_values) {
+  (void)cdf_rows;
+  Decoder dec(buf, nbytes);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t* cdf = cdfs + idx * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[idx];
+    const int32_t max_value = cdf_len - 2;
+
+    const uint32_t cum = dec.peek_cum();
+    int32_t s = find_symbol(cdf, cdf_len, cum);
+    dec.advance(cdf[s], cdf[s + 1] - cdf[s]);
+
+    int32_t value = s;
+    if (s == max_value) {
+      int32_t n_bypass = 0, chunk;
+      while ((chunk = dec.get_bypass()) == kMaxBypassVal)
+        n_bypass += kMaxBypassVal;
+      n_bypass += chunk;
+      int32_t raw_val = 0;
+      for (int32_t j = 0; j < n_bypass; ++j)
+        raw_val |= dec.get_bypass() << (j * kBypassPrecision);
+      value = (raw_val >> 1) + max_value;
+      if (raw_val & 1) value = -((raw_val + 1) >> 1);  // raw odd -> negative
+    }
+    out_values[i] = value + offsets[idx];
+  }
+  return 0;
+}
+
+// Quantize a pmf (pmf_len in-range bins + tail_mass appended internally) to a
+// 16-bit integer CDF of length pmf_len + 2. Returns 0 on success.
+int64_t dvc_pmf_to_quantized_cdf(const double* pmf, int64_t pmf_len,
+                                 double tail_mass, int32_t* out_cdf) {
+  const int64_t n = pmf_len + 1;  // + tail bin
+  const int64_t total = 1 << kPrecision;
+  double sum = tail_mass;
+  for (int64_t i = 0; i < pmf_len; ++i) sum += pmf[i];
+  if (sum <= 0) return -1;
+
+  std::vector<int64_t> freqs(n);
+  std::vector<double> p(n);
+  for (int64_t i = 0; i < n; ++i) {
+    double pi = (i < pmf_len ? pmf[i] : tail_mass) / sum;
+    p[i] = pi;
+    int64_t f = static_cast<int64_t>(pi * total + 0.5);
+    freqs[i] = f < 1 ? 1 : f;
+  }
+  int64_t diff = total;
+  for (int64_t i = 0; i < n; ++i) diff -= freqs[i];
+  if (diff > 0) {
+    // give the surplus to the most under-represented bin
+    int64_t best = 0;
+    double best_err = -1e300;
+    for (int64_t i = 0; i < n; ++i) {
+      double err = p[i] - static_cast<double>(freqs[i]) / total;
+      if (err > best_err) {
+        best_err = err;
+        best = i;
+      }
+    }
+    freqs[best] += diff;
+  } else {
+    while (diff < 0) {
+      // steal from the largest bin that can afford it
+      int64_t best = -1;
+      for (int64_t i = 0; i < n; ++i)
+        if (freqs[i] > 1 && (best < 0 || freqs[i] > freqs[best])) best = i;
+      if (best < 0) return -1;
+      int64_t take = -diff < freqs[best] - 1 ? -diff : freqs[best] - 1;
+      freqs[best] -= take;
+      diff += take;
+    }
+  }
+  out_cdf[0] = 0;
+  for (int64_t i = 0; i < n; ++i)
+    out_cdf[i + 1] = out_cdf[i] + static_cast<int32_t>(freqs[i]);
+  return out_cdf[n] == total ? 0 : -1;
+}
+
+}  // extern "C"
