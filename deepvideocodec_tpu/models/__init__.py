@@ -1,0 +1,28 @@
+"""Model families of the TPU video codec framework.
+
+  layers.py — shared NN building blocks (residual blocks, SpyNet optical
+              flow, UNet, SE attention, autoencoder factories)
+  dmc.py    — the flagship DMC conditional-coding P-frame codec
+  intra.py  — I-frame image codecs (factorized / hyperprior / checkerboard)
+  dvc.py    — DVC: explicit flow + warp + residual coding
+  dcvc.py   — DCVC: conditional contextual coding
+"""
+
+from .dmc import DMC, DMCConfig
+from .intra import (
+    FactorizedImageCodec,
+    HyperpriorImageCodec,
+    CheckerboardImageCodec,
+)
+from .dvc import DVC
+from .dcvc import DCVC
+
+__all__ = [
+    "DMC",
+    "DMCConfig",
+    "FactorizedImageCodec",
+    "HyperpriorImageCodec",
+    "CheckerboardImageCodec",
+    "DVC",
+    "DCVC",
+]

@@ -1,0 +1,372 @@
+"""DMC — the flagship conditional-coding P-frame video codec.
+
+Behavioural parity target: the DMC class of the reference
+(/root/reference/dmc/models/video_model.py:469-679): SpyNet motion
+estimation, compressed motion latent with a hyperprior + latent-ref entropy
+model, multi-scale temporal-context mining via bilinear warping of propagated
+reference features, contextual analysis/synthesis of the frame conditioned on
+those contexts, and a hybrid spatio-temporal entropy model.
+
+TPU-first design points:
+  * NHWC + flax.linen; the whole P-frame step is one jittable pure function
+    (one fused XLA program per curriculum stage).
+  * The decoded-picture buffer (DPB) is a fixed-shape pytree (no Nones inside
+    jit): zeros + a static `first_p` flag replace the reference's None
+    switching, so eval streams frames with donated O(1) state.
+  * Real coding splits into pure device stages with the host rANS between
+    them (see eval/codec.py); the *encoder embeds the decoder* — identical
+    ops in identical order — so bitstream round-trips are bit-exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import flow_warp, bilinear_downsample_x2
+from .layers import (
+    conv,
+    ResBlock,
+    SubpelConv,
+    SpyNet,
+    UNet,
+    AutoEncoder,
+)
+from .context import MotionContextModel, FrameContextModel
+
+
+@dataclasses.dataclass(frozen=True)
+class DMCConfig:
+    ch_mv: int = 64   # motion latent channels
+    n: int = 64       # feature / hyper channels
+    m: int = 96       # frame latent channels
+
+
+def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
+              dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Fixed-shape decoded-picture buffer for an (h, w) padded frame."""
+    return {
+        "x_ref": jnp.zeros((batch, h, w, 3), dtype),
+        "feature_ref": jnp.zeros((batch, h, w, cfg.n), dtype),
+        "y_ref": jnp.zeros((batch, h // 16, w // 16, cfg.m), dtype),
+        "y_mv_ref": jnp.zeros((batch, h // 16, w // 16, cfg.ch_mv), dtype),
+    }
+
+
+class FeatureExtractor(nn.Module):
+    """3-scale (/1, /2, /4) feature pyramid of the reference feature."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, feature):
+        l1 = ResBlock(self.channels)(conv(self.channels)(feature))
+        l2 = ResBlock(self.channels)(conv(self.channels, 3, 2)(l1))
+        l3 = ResBlock(self.channels)(conv(self.channels, 3, 2)(l2))
+        return l1, l2, l3
+
+
+class MultiScaleContextFusion(nn.Module):
+    """Cross-scale fusion of the three warped contexts (residual form)."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, context1, context2, context3):
+        c = self.channels
+        c3_up = ResBlock(c)(SubpelConv(c, 2)(context3))
+        c3_out = ResBlock(c)(conv(c)(context3))
+        cat32 = jnp.concatenate([c3_up, context2], axis=-1)
+        c2_up = ResBlock(c)(SubpelConv(c, 2)(cat32))
+        c2_out = ResBlock(c)(conv(c)(cat32))
+        cat21 = jnp.concatenate([c2_up, context1], axis=-1)
+        c1_out = ResBlock(c)(conv(c)(cat21))
+        return context1 + c1_out, context2 + c2_out, context3 + c3_out
+
+
+class ContextualEncoder(nn.Module):
+    """Frame analysis transform conditioned on the temporal contexts (/16)."""
+
+    n: int = 64
+    m: int = 96
+
+    @nn.compact
+    def __call__(self, x, context1, context2, context3):
+        n = self.n
+        f = conv(n, 3, 2)(jnp.concatenate([x, context1], axis=-1))
+        f = ResBlock(n * 2, slope=0.1, bottleneck=True,
+                     end_with_relu=True)(
+            jnp.concatenate([f, context2], axis=-1))
+        f = conv(n, 3, 2)(f)
+        f = ResBlock(n * 2, slope=0.1, bottleneck=True,
+                     end_with_relu=True)(
+            jnp.concatenate([f, context3], axis=-1))
+        f = conv(n, 3, 2)(f)
+        return conv(self.m, 3, 2)(f)
+
+
+class ContextualDecoder(nn.Module):
+    """Synthesis transform: x16 subpel with context conditioning, 32ch out."""
+
+    n: int = 64
+    m: int = 96
+
+    @nn.compact
+    def __call__(self, y_hat, context2, context3):
+        n = self.n
+        f = SubpelConv(n, 2)(y_hat)
+        f = SubpelConv(n, 2)(f)
+        f = ResBlock(n * 2, slope=0.1, bottleneck=True,
+                     end_with_relu=True)(
+            jnp.concatenate([f, context3], axis=-1))
+        f = SubpelConv(n, 2)(f)
+        f = ResBlock(n * 2, slope=0.1, bottleneck=True,
+                     end_with_relu=True)(
+            jnp.concatenate([f, context2], axis=-1))
+        return SubpelConv(32, 2)(f)
+
+
+class ReconGeneration(nn.Module):
+    """Two UNets refine (residual feature, context1) into RGB + the feature
+    that becomes the next frame's feature_ref.
+
+    Concat order (res, ctx) matches the reference call site, which passes
+    x_rec_feature first (video_model.py:575 into forward(ctx, res) —
+    the parameter names there are swapped; the dataflow is res-then-ctx).
+    """
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, res, ctx):
+        f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
+        f = UNet(self.channels)(f)
+        f = UNet(self.channels)(f)
+        recon = conv(3)(f)
+        return f, recon
+
+
+class DMC(nn.Module):
+    """Conditional-coding P-frame codec (training + real-codec stages)."""
+
+    cfg: DMCConfig = DMCConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.optic_flow = SpyNet()
+        self.motion_autoencoder = AutoEncoder(
+            out_channels=2, channels=c.ch_mv)
+        self.motion_context_model = MotionContextModel(
+            y_channels=c.ch_mv, z_channels=c.ch_mv)
+        self.feature_adaptor_i = conv(c.n)
+        self.feature_adaptor_p = conv(c.n, 1)
+        self.feature_extractor = FeatureExtractor(c.n)
+        self.context_fusion_net = MultiScaleContextFusion(c.n)
+        self.contextual_encoder = ContextualEncoder(c.n, c.m)
+        self.contextual_decoder = ContextualDecoder(c.n, c.m)
+        self.frame_context_model = FrameContextModel(
+            y_channels=c.m, z_channels=c.n)
+        self.recon_generation_net = ReconGeneration(c.n)
+
+    # -- shared sub-graphs ---------------------------------------------------
+
+    def multi_scale_feature_extractor(self, dpb, first_p: bool):
+        if first_p:
+            feature = self.feature_adaptor_i(dpb["x_ref"])
+        else:
+            feature = self.feature_adaptor_p(dpb["feature_ref"])
+        return self.feature_extractor(feature)
+
+    def motion_compensation(self, mv, dpb, first_p: bool):
+        warpframe = flow_warp(dpb["x_ref"], mv)
+        mv2 = bilinear_downsample_x2(mv) / 2.0
+        mv3 = bilinear_downsample_x2(mv2) / 2.0
+        f1, f2, f3 = self.multi_scale_feature_extractor(dpb, first_p)
+        c1 = flow_warp(f1, mv)
+        c2 = flow_warp(f2, mv2)
+        c3 = flow_warp(f3, mv3)
+        c1, c2, c3 = self.context_fusion_net(c1, c2, c3)
+        return c1, c2, c3, warpframe
+
+    # -- training forward ----------------------------------------------------
+
+    def forward_inter(
+        self,
+        x_cur,
+        dpb,
+        first_p: bool = True,
+        motion_pretrain: bool = False,
+        frame_pretrain: bool = False,
+        training: bool = False,
+    ):
+        """One P-frame step. Returns (x_rec, likelihoods, new_dpb).
+
+        `first_p` is static: the first P-frame after an I-frame adapts the
+        RGB reference and sees zero latent refs (the reference models this
+        with Nones — video_model.py:529-534).
+        """
+        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        y_mv = self.motion_autoencoder.encode(mv)
+        y_mv_ref = None if first_p else dpb["y_mv_ref"]
+        y_mv_hat, mv_lk = self.motion_context_model(
+            y_mv, y_mv_ref, training=training)
+
+        mv_hat = self.motion_autoencoder.decode(y_mv_hat)
+        c1, c2, c3, x_warp = self.motion_compensation(mv_hat, dpb, first_p)
+
+        if motion_pretrain:
+            return x_warp, {"motion": mv_lk}, dpb
+        # NOTE: the reference's frame_pretrain stage detaches mv_hat *after*
+        # the contexts were already computed and never uses it again
+        # (video_model.py:568-569) — the detach is dead code, gradients flow
+        # into the motion branch through the contexts. We reproduce that
+        # actual dataflow (no stop_gradient) for training parity.
+        del frame_pretrain
+
+        y = self.contextual_encoder(x_cur, c1, c2, c3)
+        y_ref = None if first_p else dpb["y_ref"]
+        y_hat, frame_lk = self.frame_context_model(
+            y, y_ref, extra=c3, training=training)
+
+        x_rec_feature = self.contextual_decoder(y_hat, c2, c3)
+        feature, x_rec = self.recon_generation_net(x_rec_feature, c1)
+
+        new_dpb = {
+            "x_ref": x_rec,
+            "feature_ref": feature,
+            "y_ref": y_hat,
+            "y_mv_ref": y_mv_hat,
+        }
+        return x_rec, {"motion": mv_lk, "frame": frame_lk}, new_dpb
+
+    def __call__(
+        self,
+        frames,  # (B, T, H, W, 3)
+        motion_pretrain: bool = False,
+        frame_pretrain: bool = False,
+        training: bool = False,
+    ):
+        """Training forward over a short clip; frame 0 is the reference.
+
+        DPB propagates across P-frames only for clips of >= 3 frames,
+        matching the reference (video_model.py:543-549). Returns
+        {'x_hat': (B, T-1, H, W, 3), 'likelihoods': [per-frame dicts]}.
+        """
+        B, T, H, W, _ = frames.shape
+        dpb = empty_dpb(B, H, W, self.cfg, frames.dtype)
+        dpb["x_ref"] = frames[:, 0]
+
+        recons, likelihoods = [], []
+        for t in range(1, T):
+            first_p = t == 1
+            x_rec, lk, new_dpb = self.forward_inter(
+                frames[:, t], dpb, first_p=first_p,
+                motion_pretrain=motion_pretrain,
+                frame_pretrain=frame_pretrain, training=training)
+            recons.append(x_rec)
+            likelihoods.append(lk)
+            if T >= 3 and not motion_pretrain:
+                dpb = new_dpb
+        return {
+            "x_hat": jnp.stack(recons, axis=1),
+            "likelihoods": likelihoods,
+        }
+
+    # -- real-codec device stages (host rANS sits between them) -------------
+
+    def encode_stage(self, x_cur, dpb, first_p: bool):
+        """Full-device encode: all symbol planes + the embedded decode.
+
+        The encoder runs the decoder's exact graph (same ops, same order) so
+        the propagated DPB matches what the standalone decoder reconstructs
+        from the bitstream (reference encode_inter: video_model.py:581-599).
+        """
+        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        y_mv = self.motion_autoencoder.encode(mv)
+        y_mv_ref = None if first_p else dpb["y_mv_ref"]
+        (y_mv_hat, z_mv_sym, mv_q0, mv_q1, mv_i0, mv_i1) = (
+            self.motion_context_model.encode_stage(y_mv, y_mv_ref))
+
+        mv_hat = self.motion_autoencoder.decode(y_mv_hat)
+        c1, c2, c3, _ = self.motion_compensation(mv_hat, dpb, first_p)
+
+        y = self.contextual_encoder(x_cur, c1, c2, c3)
+        y_ref = None if first_p else dpb["y_ref"]
+        (y_hat, z_sym, fr_q0, fr_q1, fr_i0, fr_i1) = (
+            self.frame_context_model.encode_stage(y, y_ref, extra=c3))
+
+        x_rec_feature = self.contextual_decoder(y_hat, c2, c3)
+        feature, x_rec = self.recon_generation_net(x_rec_feature, c1)
+        x_rec = jnp.clip(x_rec, 0.0, 1.0)
+
+        new_dpb = {
+            "x_ref": x_rec,
+            "feature_ref": feature,
+            "y_ref": y_hat,
+            "y_mv_ref": y_mv_hat,
+        }
+        return {
+            "motion": {"z_sym": z_mv_sym, "q0": mv_q0, "q1": mv_q1,
+                       "i0": mv_i0, "i1": mv_i1},
+            "frame": {"z_sym": z_sym, "q0": fr_q0, "q1": fr_q1,
+                      "i0": fr_i0, "i1": fr_i1},
+            "dpb": new_dpb,
+        }
+
+    def decode_motion_prior(self, z_mv_sym, dpb, first_p: bool):
+        z_hat = self.motion_context_model.z_dequant(z_mv_sym)
+        y_mv_ref = None if first_p else dpb["y_mv_ref"]
+        means, scales = self.motion_context_model.decode_prior_stage(
+            z_hat, y_mv_ref)
+        idx_r0 = self.motion_context_model.decode_anchor_indexes(scales)
+        return means, scales, idx_r0
+
+    def decode_motion_spatial(self, y_quant_r0, means, scales):
+        return self.motion_context_model.decode_nonanchor_stage(
+            y_quant_r0, means, scales)
+
+    def decode_motion_combine(self, yh_00, yh_11, nm_0, nm_1, y_quant_r1):
+        return self.motion_context_model.decode_combine_stage(
+            yh_00, yh_11, nm_0, nm_1, y_quant_r1)
+
+    def decode_contexts(self, y_mv_hat, dpb, first_p: bool):
+        """Motion decode -> warped contexts (device stage between streams)."""
+        mv_hat = self.motion_autoencoder.decode(y_mv_hat)
+        return self.motion_compensation(mv_hat, dpb, first_p)
+
+    def decode_frame_prior(self, z_sym, dpb, context3, first_p: bool):
+        z_hat = self.frame_context_model.z_dequant(z_sym)
+        y_ref = None if first_p else dpb["y_ref"]
+        means, scales = self.frame_context_model.decode_prior_stage(
+            z_hat, y_ref, extra=context3)
+        idx_r0 = self.frame_context_model.decode_anchor_indexes(scales)
+        return means, scales, idx_r0
+
+    def decode_frame_spatial(self, y_quant_r0, means, scales):
+        return self.frame_context_model.decode_nonanchor_stage(
+            y_quant_r0, means, scales)
+
+    def decode_frame_combine(self, yh_00, yh_11, nm_0, nm_1, y_quant_r1):
+        return self.frame_context_model.decode_combine_stage(
+            yh_00, yh_11, nm_0, nm_1, y_quant_r1)
+
+    def decode_reconstruct(self, y_hat, y_mv_hat, c1, c2, c3):
+        """Final device stage: synthesis + recon, returns (x_rec, new_dpb)."""
+        x_rec_feature = self.contextual_decoder(y_hat, c2, c3)
+        feature, x_rec = self.recon_generation_net(x_rec_feature, c1)
+        x_rec = jnp.clip(x_rec, 0.0, 1.0)
+        new_dpb = {
+            "x_ref": x_rec,
+            "feature_ref": feature,
+            "y_ref": y_hat,
+            "y_mv_ref": y_mv_hat,
+        }
+        return x_rec, new_dpb
+
+    def aux_loss(self):
+        return (self.motion_context_model.aux_loss()
+                + self.frame_context_model.aux_loss())

@@ -1,0 +1,320 @@
+"""Shared NN building blocks, NHWC / flax.linen, TPU-first.
+
+Functional re-design of the block vocabulary the reference defines in
+/root/reference/dmc/models/layers.py (residual blocks, sub-pixel upsamplers,
+SpyNet optical flow, SE attention, UNet, autoencoder factories). Differences
+from the reference are deliberate TPU choices:
+
+  * NHWC layout everywhere (XLA's native conv layout on TPU).
+  * PixelShuffle becomes depth_to_space (reshape/transpose XLA fuses into the
+    producing conv).
+  * grid_sample becomes ops.flow_warp (single fused gather).
+  * Explicit ((1,1),(1,1)) conv padding so strided convs match the
+    reference's pad-1 semantics exactly (XLA 'SAME' pads asymmetrically for
+    stride 2 and would break golden parity).
+
+Weight init follows the reference's codec-wide convention: Xavier-normal with
+gain sqrt(2) for conv kernels and constant 0.01 biases
+(/root/reference/dmc/models/video_model.py:508-513).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import (
+    flow_warp,
+    bilinear_upsample_x2,
+    avg_pool_2x2,
+    max_pool_2x2,
+    depth_to_space,
+)
+
+# Codec-wide initializers: xavier-normal gain sqrt(2) == variance scaling
+# with scale gain^2 = 2 over fan_avg; biases 0.01.
+codec_kernel_init = nn.initializers.variance_scaling(
+    2.0, "fan_avg", "normal")
+codec_bias_init = nn.initializers.constant(0.01)
+
+
+def conv(features: int, kernel: int = 3, stride: int = 1) -> nn.Conv:
+    """Conv with torch-style symmetric padding (pad = kernel // 2)."""
+    p = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        kernel_init=codec_kernel_init,
+        bias_init=codec_bias_init,
+    )
+
+
+def leaky_relu(x, slope: float = 0.01):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class SubpelConv(nn.Module):
+    """conv(k) producing r^2x channels, then depth-to-space x r upsample."""
+
+    features: int
+    r: int = 2
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv(self.features * self.r * self.r, self.kernel)(x)
+        return depth_to_space(x, self.r)
+
+
+class ResBlock(nn.Module):
+    """Pre/post-activation residual block with optional bottleneck.
+
+    slope < 1e-4 selects plain ReLU (the reference's UNet refinement stacks
+    use slope=0); bottleneck halves channels in the middle conv pair.
+    """
+
+    channels: int
+    slope: float = 0.01
+    start_from_relu: bool = True
+    end_with_relu: bool = False
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = (
+            nn.relu
+            if self.slope < 1e-4
+            else lambda a: leaky_relu(a, self.slope)
+        )
+        mid = self.channels // 2 if self.bottleneck else self.channels
+        out = act(x) if self.start_from_relu else x
+        out = conv(mid)(out)
+        out = act(out)
+        out = conv(self.channels)(out)
+        if self.end_with_relu:
+            out = act(out)
+        return x + out
+
+
+class ResidualBlockWithStride(nn.Module):
+    """Stride-2 residual downsampler with a 1x1 strided shortcut."""
+
+    features: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv(self.features, 3, self.stride)(x)
+        out = leaky_relu(out, 0.01)
+        out = conv(self.features)(out)
+        out = leaky_relu(out, 0.1)
+        if self.stride != 1:
+            x = conv(self.features, 1, self.stride)(x)
+        elif x.shape[-1] != self.features:
+            x = conv(self.features, 1)(x)
+        return out + x
+
+
+class ResidualBlockUpsample(nn.Module):
+    """Sub-pixel x2 residual upsampler (shortcut is a second subpel conv)."""
+
+    features: int
+    r: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv(self.features, self.r, kernel=1)(x)
+        out = leaky_relu(out, 0.01)
+        out = conv(self.features)(out)
+        out = leaky_relu(out, 0.1)
+        shortcut = SubpelConv(self.features, self.r, kernel=1)(x)
+        return out + shortcut
+
+
+class ResidualBlockSimple(nn.Module):
+    """Two 3x3 convs with LeakyReLU and an identity shortcut."""
+
+    features: int
+    slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv(self.features)(x)
+        out = leaky_relu(out, self.slope)
+        out = conv(self.features)(out)
+        out = leaky_relu(out, self.slope)
+        return out + x
+
+
+class SELayer(nn.Module):
+    """Squeeze-excitation channel gate (global mean -> FC bottleneck)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))  # (B, C)
+        y = nn.Dense(c // self.reduction, use_bias=False,
+                     kernel_init=codec_kernel_init)(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=codec_kernel_init)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class ConvBlockResidual(nn.Module):
+    """conv-LReLU-conv(-SE) with a 1x1 projection shortcut (UNet block)."""
+
+    features: int
+    se_layer: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv(self.features)(x)
+        out = leaky_relu(out, 0.01)
+        out = conv(self.features)(out)
+        if self.se_layer:
+            out = SELayer()(out)
+        shortcut = conv(self.features, 1)(x)
+        return out + shortcut
+
+
+class UNet(nn.Module):
+    """3-level UNet (32/64/128) with a 4x ResBlock(relu) refinement trunk."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = ConvBlockResidual(32)(x)
+        x2 = max_pool_2x2(x1)
+        x2 = ConvBlockResidual(64)(x2)
+        x3 = max_pool_2x2(x2)
+        x3 = ConvBlockResidual(128)(x3)
+        for _ in range(4):
+            x3 = ResBlock(128, slope=0.0)(x3)
+        d3 = SubpelConv(64, 2, kernel=1)(x3)
+        d3 = ConvBlockResidual(64)(jnp.concatenate([x2, d3], axis=-1))
+        d2 = SubpelConv(32, 2, kernel=1)(d3)
+        d2 = ConvBlockResidual(self.features)(
+            jnp.concatenate([x1, d2], axis=-1))
+        return d2
+
+
+class MEBasic(nn.Module):
+    """One SpyNet pyramid-level CNN: 8 -> 32 -> 64 -> 32 -> 16 -> 2, 7x7."""
+
+    @nn.compact
+    def __call__(self, x):
+        for feats in (32, 64, 32, 16):
+            x = nn.relu(conv(feats, 7)(x))
+        return conv(2, 7)(x)
+
+
+class SpyNet(nn.Module):
+    """Coarse-to-fine optical flow over an avg-pool pyramid.
+
+    4 levels; at each level the previous flow is upsampled x2 (values x2),
+    used to warp the reference image, and a per-level CNN predicts the
+    residual flow from (im1, warped im2, upsampled flow).
+    """
+
+    levels: int = 4
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        pyr1, pyr2 = [im1], [im2]
+        for _ in range(self.levels - 1):
+            pyr1.append(avg_pool_2x2(pyr1[-1]))
+            pyr2.append(avg_pool_2x2(pyr2[-1]))
+
+        B, Hc, Wc, _ = pyr1[-1].shape
+        flow = jnp.zeros((B, Hc // 2, Wc // 2, 2), im1.dtype)
+        for level in range(self.levels):
+            flow_up = bilinear_upsample_x2(flow) * 2.0
+            i = self.levels - 1 - level
+            inp = jnp.concatenate(
+                [pyr1[i], flow_warp(pyr2[i], flow_up), flow_up], axis=-1)
+            flow = flow_up + MEBasic(name=f"level_{level}")(inp)
+        return flow
+
+
+class AutoEncoder(nn.Module):
+    """Motion/residual autoencoder factory: /16 analysis, x16 synthesis.
+
+    Mirrors the reference's get_enc_dec_models topology
+    (/root/reference/dmc/models/layers.py:344-366): four stride-2 stages of
+    residual blocks down, mirrored subpel x2 stages up.
+    """
+
+    out_channels: int
+    channels: int
+
+    def setup(self):
+        ch = self.channels
+        self.enc_blocks = [
+            ResidualBlockWithStride(ch),
+            ResidualBlockSimple(ch),
+            ResidualBlockWithStride(ch),
+            ResidualBlockSimple(ch),
+            ResidualBlockWithStride(ch),
+            ResidualBlockSimple(ch),
+        ]
+        self.enc_final = conv(ch, 3, 2)
+        self.dec_blocks = [
+            ResidualBlockSimple(ch),
+            ResidualBlockUpsample(ch),
+            ResidualBlockSimple(ch),
+            ResidualBlockUpsample(ch),
+            ResidualBlockSimple(ch),
+            ResidualBlockUpsample(ch),
+            ResidualBlockSimple(ch),
+        ]
+        self.dec_final = SubpelConv(self.out_channels, 2, kernel=1)
+
+    def encode(self, x):
+        for blk in self.enc_blocks:
+            x = blk(x)
+        return self.enc_final(x)
+
+    def decode(self, y):
+        for blk in self.dec_blocks:
+            y = blk(y)
+        return self.dec_final(y)
+
+    def __call__(self, x):
+        return self.decode(self.encode(x))
+
+
+class HyperEncoder(nn.Module):
+    """Hyperprior analysis: 5 conv3x3 with two stride-2 stages (/4)."""
+
+    z_channels: int
+
+    @nn.compact
+    def __call__(self, y):
+        z = leaky_relu(conv(self.z_channels)(y))
+        z = leaky_relu(conv(self.z_channels)(z))
+        z = leaky_relu(conv(self.z_channels, 3, 2)(z))
+        z = leaky_relu(conv(self.z_channels)(z))
+        return conv(self.z_channels, 3, 2)(z)
+
+
+class HyperDecoder(nn.Module):
+    """Hyperprior synthesis: x4 via two subpel x2, out 2*y_ch (means‖scales)."""
+
+    y_channels: int
+
+    @nn.compact
+    def __call__(self, z):
+        y = leaky_relu(conv(self.y_channels)(z))
+        y = leaky_relu(SubpelConv(self.y_channels, 2, kernel=1)(y))
+        y = leaky_relu(conv(self.y_channels * 3 // 2)(y))
+        y = leaky_relu(SubpelConv(self.y_channels * 3 // 2, 2, kernel=1)(y))
+        return conv(self.y_channels * 2)(y)

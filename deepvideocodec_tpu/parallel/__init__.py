@@ -1,0 +1,15 @@
+"""Device-mesh parallelism helpers (data-parallel over ICI)."""
+
+from .mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_parallel_train_step",
+]

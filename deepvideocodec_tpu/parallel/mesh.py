@@ -1,0 +1,106 @@
+"""Data-parallel scaling over a JAX device mesh.
+
+The reference's only parallelism is single-process multi-GPU DataParallel
+(/root/reference/dmc/train.py:230-237, 598-600 — replicate/scatter/gather
+each step). The TPU-native equivalent is SPMD over a 1-D `data` mesh axis:
+the batch is sharded across chips, parameters are replicated, and XLA
+inserts the gradient all-reduce (psum) over ICI automatically from the
+sharding annotations — no hand-written collectives.
+
+The models carry no attention and are O(10-40M) params, so tensor/pipeline
+parallelism buys nothing (SURVEY.md §2.8); scale comes from batch data
+parallelism (training) and sequence-level sharding of independent GOPs
+(eval). For 4K+ single-frame latency work, spatial (H) sharding with halo
+exchange is the natural extension — not a reference capability, tracked as
+future work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.trainer import TrainState
+from ..train.curriculum import Stage
+from ..train.loss import rate_distortion_loss
+from ..train.optimizers import make_optimizer
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Batch sharding: leading (batch) axis split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def make_parallel_train_step(
+    model,
+    stage: Stage,
+    lmbda: float,
+    mesh: Mesh,
+    intra_model=None,
+    intra_params=None,
+) -> Callable:
+    """Data-parallel train step: batch sharded on `data`, params replicated.
+
+    jit + output shardings make XLA insert the cross-chip gradient psum over
+    ICI; the returned step takes (state, batch, rng) exactly like the
+    single-chip step.
+    """
+    if stage.use_intra_iframe and intra_model is None:
+        raise ValueError("intra stage requires an intra model")
+
+    batch_sharding = shard_batch(mesh)
+    repl = replicate(mesh)
+
+    def loss_fn(params, batch, noise_rng):
+        frames = batch
+        if stage.use_intra_iframe:
+            intra_out = intra_model.apply(
+                intra_params, frames[:, 0], training=False)
+            frames = frames.at[:, 0].set(
+                jax.lax.stop_gradient(intra_out["x_hat"]))
+        out = model.apply(
+            params, frames,
+            motion_pretrain=stage.motion_pretrain,
+            frame_pretrain=stage.frame_pretrain,
+            training=True,
+            rngs={"noise": noise_rng},
+        )
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        aux = model.apply(params, method=model.aux_loss)
+        metrics["aux_loss"] = aux
+        return metrics[stage.loss_key] + aux, metrics
+
+    def step(state: TrainState, batch, rng):
+        noise_rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(
+            loss_fn, has_aux=True)(state.params, batch, noise_rng)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sharding, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def device_put_batch(batch, mesh: Mesh):
+    """Place a host batch sharded across the data axis."""
+    return jax.device_put(batch, shard_batch(mesh))

@@ -1,0 +1,141 @@
+"""Jitted train/eval steps and training state.
+
+One fused XLA program per curriculum stage: forward (all P-frames unrolled —
+max_frames is 2-3), RD loss + aux loss in a single backward, partitioned
+Adam update. The whole step runs on device; only scalar metrics return to
+host. Mirrors the reference's train_one_epoch inner loop
+(/root/reference/dmc/train.py:285-346) minus its Python-side graph swaps —
+stage flags are static so each stage is its own compiled step.
+
+Multi-chip: steps are sharding-agnostic pure functions; parallel/mesh.py
+wraps them with NamedSharding constraints for data-parallel execution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .curriculum import Stage
+from .loss import rate_distortion_loss
+from .optimizers import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    example_batch: jax.Array,
+    learning_rate=1e-4,
+    aux_learning_rate: float = 1e-3,
+    clip_max_norm: float = 1.0,
+) -> TrainState:
+    params_rng, noise_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "noise": noise_rng},
+        example_batch, training=True)
+    tx = make_optimizer(learning_rate, aux_learning_rate, clip_max_norm)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables,
+        opt_state=tx.init(variables),
+        tx=tx,
+    )
+
+
+def _model_aux_loss(model, params):
+    return model.apply(params, method=model.aux_loss)
+
+
+def make_train_step(
+    model,
+    stage: Stage,
+    lmbda: float,
+    intra_model=None,
+    intra_params=None,
+) -> Callable:
+    """Build the jitted train step for one curriculum stage.
+
+    Stage 'e2e_intra' replaces the clean I-frame with the frozen intra
+    codec's reconstruction before the inter pass (reference
+    train.py:323-330); the intra params are closed over as constants
+    (no gradient).
+    """
+    if stage.use_intra_iframe and intra_model is None:
+        raise ValueError("intra stage requires an intra model")
+
+    def loss_fn(params, batch, noise_rng):
+        frames = batch
+        if stage.use_intra_iframe:
+            intra_out = intra_model.apply(
+                intra_params, frames[:, 0], training=False)
+            iframe = jax.lax.stop_gradient(intra_out["x_hat"])
+            frames = frames.at[:, 0].set(iframe)
+        out = model.apply(
+            params, frames,
+            motion_pretrain=stage.motion_pretrain,
+            frame_pretrain=stage.frame_pretrain,
+            training=True,
+            rngs={"noise": noise_rng},
+        )
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        aux = _model_aux_loss(model, params)
+        metrics["aux_loss"] = aux
+        # single fused backward: the two losses touch disjoint param sets
+        total = metrics[stage.loss_key] + aux
+        return total, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        noise_rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(
+            loss_fn, has_aux=True)(state.params, batch, noise_rng)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model, stage: Stage, lmbda: float, intra_model=None, intra_params=None
+) -> Callable:
+    """Deterministic eval mirror of the stage (round quantization)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        frames = batch
+        if stage.use_intra_iframe:
+            intra_out = intra_model.apply(
+                intra_params, frames[:, 0], training=False)
+            frames = frames.at[:, 0].set(intra_out["x_hat"])
+        out = model.apply(
+            params, frames,
+            motion_pretrain=stage.motion_pretrain,
+            frame_pretrain=stage.frame_pretrain,
+            training=False,
+        )
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        metrics["aux_loss"] = _model_aux_loss(model, params)
+        return metrics
+
+    return eval_step
