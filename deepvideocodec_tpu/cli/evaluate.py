@@ -1,0 +1,116 @@
+"""Evaluation CLI — real-bitstream GOP coding over PNG sequences.
+
+The TPU counterpart of the reference's test.py driver
+(/root/reference/dmc/test.py:244-285): loops qualities x sequences, codes
+the first --frames frames with GOP --gop, writes .bits files under cache/,
+appends per-sequence {video, quality, bpp, psnr} to results/q{q}.json and
+logs the dataset average.
+
+    python -m deepvideocodec_tpu.cli.evaluate \
+        --frames-root /data/uvg_frames --checkpoint ckpts/dmc/2048.0 \
+        --intra-checkpoint ckpts/intra/q6 -q 6 --gop 32 --frames 96
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a TPU video codec")
+    p.add_argument("--frames-root", required=True,
+                   help="dir of sequence dirs, each holding *.png frames")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="inter-codec checkpoint dir (random init if absent)")
+    p.add_argument("--intra-checkpoint", type=str, default=None)
+    p.add_argument("-q", "--qualities", type=int, nargs="+", default=[6])
+    p.add_argument("-g", "--gop", type=int, default=32)
+    p.add_argument("-f", "--frames", type=int, default=96)
+    p.add_argument("--results-dir", type=str, default="results")
+    p.add_argument("--cache-dir", type=str, default="cache")
+    p.add_argument("--dataset-name", type=str, default="uvg")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import DMC, CheckerboardImageCodec
+    from ..eval.codec import DmcCodec, IntraCodec
+    from ..eval.evaluator import evaluate_video, load_png_frames
+    from ..utils import setup_logger, restore_checkpoint, latest_step
+
+    results_dir = Path(args.results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(results_dir / "eval.log")
+
+    rng = jax.random.PRNGKey(0)
+    model = DMC()
+    ex = jnp.zeros((1, 2, 64, 64, 3))
+    params = model.init({"params": rng, "noise": rng}, ex, training=False)
+    if args.checkpoint:
+        step = latest_step(args.checkpoint)
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {args.checkpoint}")
+        from ..train import create_train_state
+        state = create_train_state(model, rng, ex)
+        state = restore_checkpoint(args.checkpoint, step, state)
+        params = state.params
+        logging.info("loaded inter ckpt step %d", step)
+
+    intra_model = CheckerboardImageCodec()
+    img = jnp.zeros((1, 64, 64, 3))
+    intra_params = intra_model.init(
+        {"params": rng, "noise": rng}, img, training=False)
+    if args.intra_checkpoint:
+        istep = latest_step(args.intra_checkpoint)
+        if istep is not None:
+            intra_params = restore_checkpoint(
+                args.intra_checkpoint, istep, intra_params)
+            logging.info("loaded intra ckpt step %d", istep)
+
+    inter_codec = DmcCodec(model, params)
+    intra_codec = IntraCodec(intra_model, intra_params)
+
+    seq_dirs = sorted(
+        p for p in Path(args.frames_root).iterdir() if p.is_dir())
+    if not seq_dirs:
+        raise FileNotFoundError(
+            f"no sequence dirs under {args.frames_root}")
+
+    for q in args.qualities:
+        agg_bpp, agg_psnr = [], []
+        for seq in seq_dirs:
+            tag = (f"{args.dataset_name}-q{q}-gop{args.gop}"
+                   f"-num{args.frames}")
+            stats = evaluate_video(
+                inter_codec, intra_codec,
+                load_png_frames(seq, args.frames),
+                bits_path=Path(args.cache_dir) / tag / f"{seq.stem}.bits",
+                gop=args.gop,
+                results_path=results_dir / f"q{q}.json",
+                video_name=str(seq), quality=q,
+            )
+            agg_bpp.append(stats["bpp"])
+            agg_psnr.append(stats["psnr"])
+            logging.info(
+                "q=%d %s: bpp=%.4f psnr=%.2f (%.1fs, %d frames)",
+                q, seq.stem, stats["bpp"], stats["psnr"],
+                stats["seconds"], stats["frames"])
+        logging.info(
+            "\x1b[92mq=%d dataset avg: bpp=%.4f psnr=%.2f over %d seqs"
+            "\x1b[0m",
+            q, float(np.mean(agg_bpp)), float(np.mean(agg_psnr)),
+            len(seq_dirs))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

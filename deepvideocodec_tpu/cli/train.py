@@ -1,0 +1,190 @@
+"""Training CLI — the TPU counterpart of the reference's train.py driver.
+
+Flag surface mirrors /root/reference/dmc/train.py:406-500 (model, dataset,
+epochs, lr, lambda, batch sizes, max-frames, patch size, seed, clip norm,
+checkpointing) with TPU-native execution: jitted per-stage train steps,
+data-parallel mesh when multiple devices are visible, Orbax checkpoints
+keyed by run directory `checkpoints/{model}/{lambda}/`.
+
+Example (the reference's canonical operating point, train.sh):
+    python -m deepvideocodec_tpu.cli.train -d /data/vimeo90k \
+        --lambda 2048 --batch-size 8 --max-frames 3 -e 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a TPU video codec")
+    p.add_argument("-m", "--model", default="dmc",
+                   choices=["dmc", "dvc", "dcvc"])
+    p.add_argument("-d", "--dataset", required=True,
+                   help="Vimeo-90K root (sep_trainlist.txt + sequences/)")
+    p.add_argument("-e", "--epochs", type=int, default=100)
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("-n", "--num-workers", type=int, default=8)
+    p.add_argument("--lambda", dest="lmbda", type=float, default=1e-2)
+    p.add_argument("-q", "--quality", type=int, default=6,
+                   help="intra codec quality tag (names the intra ckpt)")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--test-batch-size", type=int, default=64)
+    p.add_argument("--max-frames", type=int, default=2)
+    p.add_argument("--aux-learning-rate", type=float, default=1e-3)
+    p.add_argument("--patch-size", type=int, nargs=2, default=(256, 256))
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--clip_max_norm", type=float, default=1.0)
+    p.add_argument("--name", type=str, default="")
+    p.add_argument("--save", action="store_true", default=True)
+    p.add_argument("--checkpoint", type=str, help="resume directory")
+    p.add_argument("--lr-milestones", type=int, nargs="*", default=[300])
+    p.add_argument("--intra-checkpoint", type=str, default=None,
+                   help="trained intra codec ckpt for the epoch>=50 stage")
+    return p.parse_args(argv)
+
+
+def build_model(name: str):
+    from ..models import DMC, DVC, DCVC
+
+    return {"dmc": DMC, "dvc": DVC, "dcvc": DCVC}[name]()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import VideoFolderDataset, Loader
+    from ..models import CheckerboardImageCodec
+    from ..parallel import make_mesh, make_parallel_train_step, \
+        device_put_batch, replicate
+    from ..train import (
+        create_train_state,
+        make_eval_step,
+        stage_for_epoch,
+    )
+    from ..train.optimizers import multistep_lr
+    from ..utils import setup_logger, AverageMeter, save_checkpoint, \
+        restore_checkpoint, latest_step
+
+    base_dir = Path("checkpoints") / args.model / f"{args.lmbda}"
+    base_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(base_dir / f"train_{args.name}.log")
+
+    seed = args.seed if args.seed is not None else 0
+    rng = jax.random.PRNGKey(seed)
+
+    train_ds = VideoFolderDataset(
+        args.dataset, split="train", max_frames=args.max_frames,
+        crop_size=tuple(args.patch_size), rnd_interval=True,
+        rnd_temp_order=True, random_crop=True, seed=seed)
+    test_ds = VideoFolderDataset(
+        args.dataset, split="test", max_frames=args.max_frames,
+        crop_size=tuple(args.patch_size), rnd_interval=False,
+        rnd_temp_order=False, random_crop=False, seed=seed)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True,
+                          num_workers=args.num_workers, seed=seed)
+    test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
+                         num_workers=args.num_workers, drop_last=False)
+
+    model = build_model(args.model)
+    example = jnp.zeros(
+        (1, args.max_frames, *args.patch_size, 3), jnp.float32)
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = multistep_lr(
+        args.learning_rate,
+        [m * steps_per_epoch for m in args.lr_milestones])
+    state = create_train_state(
+        model, rng, example, learning_rate=schedule,
+        aux_learning_rate=args.aux_learning_rate,
+        clip_max_norm=args.clip_max_norm)
+
+    start_epoch = 0
+    if args.checkpoint:
+        step = latest_step(args.checkpoint)
+        if step is not None:
+            state = restore_checkpoint(args.checkpoint, step, state)
+            start_epoch = int(step // steps_per_epoch)
+            logging.info("resumed step %d (epoch %d)", step, start_epoch)
+
+    intra_model = intra_params = None
+    if args.intra_checkpoint:
+        intra_model = CheckerboardImageCodec()
+        img = jnp.zeros((1, *args.patch_size, 3))
+        intra_params = intra_model.init(
+            {"params": rng, "noise": rng}, img, training=False)
+        istep = latest_step(args.intra_checkpoint)
+        if istep is not None:
+            intra_params = restore_checkpoint(
+                args.intra_checkpoint, istep, intra_params)
+
+    mesh = make_mesh()
+    logging.info("devices: %s", jax.devices())
+    state = jax.device_put(state, replicate(mesh))
+
+    best_loss = float("inf")
+    step_fns = {}
+    for epoch in range(start_epoch, args.epochs):
+        stage = stage_for_epoch(epoch)
+        if stage.use_intra_iframe and intra_model is None:
+            logging.warning(
+                "epoch %d wants the intra stage but no intra checkpoint "
+                "was given; continuing with clean I-frames", epoch)
+            stage = stage_for_epoch(40)
+        if stage.name not in step_fns:
+            step_fns[stage.name] = (
+                make_parallel_train_step(
+                    model, stage, args.lmbda, mesh,
+                    intra_model=intra_model, intra_params=intra_params),
+                make_eval_step(model, stage, args.lmbda,
+                               intra_model=intra_model,
+                               intra_params=intra_params),
+            )
+        train_step, eval_step = step_fns[stage.name]
+
+        tic = time.time()
+        seen = 0
+        for i, batch in enumerate(train_loader):
+            batch = device_put_batch(jnp.asarray(batch), mesh)
+            state, metrics = train_step(state, batch, rng)
+            seen += batch.shape[0]
+            if (i * args.batch_size) % 5000 == 0:
+                logging.info(
+                    "epoch %d [%d/%d] stage=%s loss=%.4f mse=%.6f "
+                    "bpp=%.4f aux=%.1f",
+                    epoch, seen, len(train_ds), stage.name,
+                    float(metrics["loss"]), float(metrics["mse_loss"]),
+                    float(metrics["bpp_loss"]),
+                    float(metrics["aux_loss"]))
+
+        meters = {k: AverageMeter()
+                  for k in ("loss", "mse_loss", "bpp_loss", "aux_loss")}
+        for batch in test_loader:
+            m = eval_step(state.params, jnp.asarray(batch))
+            for k in meters:
+                meters[k].update(float(m[k]), batch.shape[0])
+        test_loss = meters["loss"].avg
+        logging.info(
+            "epoch %d done in %.1fs | test loss=%.4f mse=%.6f bpp=%.4f",
+            epoch, time.time() - tic, test_loss,
+            meters["mse_loss"].avg, meters["bpp_loss"].avg)
+
+        if args.save:
+            is_best = test_loss < best_loss
+            best_loss = min(best_loss, test_loss)
+            save_checkpoint(
+                base_dir, int(state.step), state,
+                metrics={"epoch": epoch, "loss": test_loss},
+                is_best=is_best)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -191,3 +191,36 @@ def factorized_cdf_tables(
 
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
+
+
+def factorized_tables_from_params(
+    param_dict, filters=(3, 3, 3, 3)
+) -> CdfTable:
+    """Build CDF tables directly from a FactorizedEntropyBottleneck's params.
+
+    `param_dict` is the flax param subtree: {'matrix_i', 'bias_i',
+    'factor_i', 'quantiles'} as arrays. Pure numpy — runs once on the host
+    at codec-construction time.
+    """
+    k = len(filters)
+    mats = [np.asarray(param_dict[f"matrix_{i}"], np.float64)
+            for i in range(k + 1)]
+    biases = [np.asarray(param_dict[f"bias_{i}"], np.float64)
+              for i in range(k + 1)]
+    factors = [np.asarray(param_dict[f"factor_{i}"], np.float64)
+               for i in range(k)]
+
+    def softplus(v):
+        return np.logaddexp(0.0, v)
+
+    def logits_fn(x):  # x: (C, 1, N)
+        logits = np.asarray(x, np.float64)
+        for i in range(k + 1):
+            m = softplus(mats[i])
+            logits = np.einsum("cij,cjn->cin", m, logits) + biases[i]
+            if i < k:
+                logits = logits + np.tanh(factors[i]) * np.tanh(logits)
+        return logits
+
+    return factorized_cdf_tables(logits_fn, np.asarray(
+        param_dict["quantiles"]))

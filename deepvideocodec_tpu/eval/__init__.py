@@ -1,0 +1,17 @@
+"""Evaluation: bitstream container, real-codec drivers, GOP loop, metrics."""
+
+from .bitstream import write_body, read_body, write_uints, read_uints
+from .codec import DmcCodec, IntraCodec
+from .evaluator import evaluate_video, pad_to_multiple, crop_to
+
+__all__ = [
+    "write_body",
+    "read_body",
+    "write_uints",
+    "read_uints",
+    "DmcCodec",
+    "IntraCodec",
+    "evaluate_video",
+    "pad_to_multiple",
+    "crop_to",
+]

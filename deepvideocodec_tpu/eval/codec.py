@@ -1,0 +1,265 @@
+"""Real-codec drivers: device NN stages + host rANS, bit-exact round trips.
+
+The reference's encode/decode paths (/root/reference/dmc/models/
+video_model.py:235-291, 581-614) interleave device NN compute with host
+arithmetic coding. Here each device stage is a separately jitted pure
+function; the host coder only ever sees int32 symbol/index planes the device
+produced. Per P-frame, the stream layout per latent is
+[y_anchor, y_nonanchor, z] — the two-pass checkerboard structure means
+exactly two device->host->device round trips per latent at decode (the only
+sequential dependency inside a frame).
+
+Lifecycle: construct with trained params -> CDF tables are built once on the
+host (`update()` in the reference, video_model.py:665-679) -> stream frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.cdf import (
+    CdfTable,
+    get_scale_table,
+    gaussian_cdf_tables,
+    factorized_tables_from_params,
+)
+from ..entropy import rans
+
+
+def _channel_indexes(shape: Tuple[int, ...]) -> np.ndarray:
+    """Per-channel CDF-row indexes for a factorized (B, H, W, C) latent."""
+    b, h, w, c = shape
+    return np.broadcast_to(
+        np.arange(c, dtype=np.int32), (b, h, w, c)).copy()
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x))
+
+
+class _CodedLatent:
+    """Host-side coder for one latent's 3 streams."""
+
+    def __init__(self, gauss_table: CdfTable, z_table: CdfTable):
+        self.gauss = gauss_table
+        self.z = z_table
+
+    def encode(self, unit: Dict[str, Any]) -> Tuple[List[bytes], Tuple[int, int]]:
+        z_sym = _np(unit["z_sym"])
+        y0 = rans.encode_with_indexes(_np(unit["q0"]), _np(unit["i0"]),
+                                      self.gauss)
+        y1 = rans.encode_with_indexes(_np(unit["q1"]), _np(unit["i1"]),
+                                      self.gauss)
+        zs = rans.encode_with_indexes(
+            z_sym, _channel_indexes(z_sym.shape), self.z)
+        return [y0, y1, zs], (z_sym.shape[1], z_sym.shape[2])
+
+    def decode_z(self, data: bytes, shape: Tuple[int, int],
+                 channels: int) -> np.ndarray:
+        idx = _channel_indexes((1, shape[0], shape[1], channels))
+        return rans.decode_with_indexes(data, idx, self.z)
+
+    def decode_y(self, data: bytes, indexes) -> np.ndarray:
+        return rans.decode_with_indexes(data, _np(indexes), self.gauss)
+
+
+class DmcCodec:
+    """Streaming DMC encoder/decoder over a trained parameter set."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        p = params["params"]
+        gauss = gaussian_cdf_tables(get_scale_table())
+        self.motion_coder = _CodedLatent(
+            gauss,
+            factorized_tables_from_params(
+                p["motion_context_model"]["entropy_bottleneck"]),
+        )
+        self.frame_coder = _CodedLatent(
+            gauss,
+            factorized_tables_from_params(
+                p["frame_context_model"]["entropy_bottleneck"]),
+        )
+        m = model
+
+        def meth(name):
+            fn = functools.partial(m.apply, method=getattr(m, name))
+            return fn
+
+        # Decoder stages — ALSO invoked by the encoder (same compiled
+        # programs -> bit-exact encoder/decoder symmetry; SURVEY.md hard
+        # part #1). first_p is a static python bool -> two cached jits.
+        # Stages are fused as far as the host-rANS round trips allow: 6
+        # device programs per decoded frame.
+        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"),
+                                     static_argnames=("first_p",))
+        self._dec_mv_spatial = jax.jit(meth("decode_motion_spatial"))
+        self._dec_mv_combine_ctx = jax.jit(
+            meth("decode_motion_combine_contexts"),
+            static_argnames=("first_p",))
+        self._dec_fr_prior = jax.jit(meth("decode_frame_prior"),
+                                     static_argnames=("first_p",))
+        self._dec_fr_spatial = jax.jit(meth("decode_frame_spatial"))
+        self._dec_fr_recon = jax.jit(meth("decode_frame_reconstruct"))
+        # Encoder-only stages: analysis transforms + symbol extraction.
+        self._enc_motion = jax.jit(meth("encode_motion"))
+        self._enc_mv_anchor = jax.jit(meth("encode_motion_anchors"))
+        self._enc_mv_nonanchor = jax.jit(meth("encode_motion_nonanchors"))
+        self._enc_frame = jax.jit(meth("encode_frame"))
+        self._enc_fr_anchor = jax.jit(meth("encode_frame_anchors"))
+        self._enc_fr_nonanchor = jax.jit(meth("encode_frame_nonanchors"))
+
+    # -- encode --------------------------------------------------------------
+
+    def encode_inter(self, x, dpb, first_p: bool):
+        """Encode one P-frame; returns (payload, new_dpb).
+
+        Every prior/means computation runs through the decoder's compiled
+        programs on the same inputs the decoder will see, so the returned
+        DPB is bit-identical to what decode_inter reconstructs from the
+        bytes — no drift across a GOP.
+        """
+        p = self.params
+        # motion latent
+        y_mv, z_sym = self._enc_motion(p, x, dpb)
+        means, scales, idx_r0 = self._dec_mv_prior(
+            p, z_sym, dpb, first_p=first_p)
+        q0 = self._enc_mv_anchor(p, y_mv, means)
+        yh00, yh11, nm0, nm1, idx_r1 = self._dec_mv_spatial(
+            p, q0, means, scales)
+        q1 = self._enc_mv_nonanchor(p, y_mv, nm0, nm1)
+        y_mv_hat, c1, c2, c3, _ = self._dec_mv_combine_ctx(
+            p, yh00, yh11, nm0, nm1, q1, dpb, first_p=first_p)
+
+        # frame latent
+        y, z_sym_f = self._enc_frame(p, x, c1, c2, c3)
+        means_f, scales_f, fidx_r0 = self._dec_fr_prior(
+            p, z_sym_f, dpb, c3, first_p=first_p)
+        fq0 = self._enc_fr_anchor(p, y, means_f)
+        fh00, fh11, fm0, fm1, fidx_r1 = self._dec_fr_spatial(
+            p, fq0, means_f, scales_f)
+        fq1 = self._enc_fr_nonanchor(p, y, fm0, fm1)
+        x_rec, new_dpb = self._dec_fr_recon(
+            p, fh00, fh11, fm0, fm1, fq1, y_mv_hat, c1, c2, c3)
+        del x_rec  # carried inside new_dpb["x_ref"]
+
+        mv_strings = [
+            rans.encode_with_indexes(_np(q0), _np(idx_r0), self.motion_coder.gauss),
+            rans.encode_with_indexes(_np(q1), _np(idx_r1), self.motion_coder.gauss),
+            rans.encode_with_indexes(
+                _np(z_sym), _channel_indexes(_np(z_sym).shape),
+                self.motion_coder.z),
+        ]
+        fr_strings = [
+            rans.encode_with_indexes(_np(fq0), _np(fidx_r0), self.frame_coder.gauss),
+            rans.encode_with_indexes(_np(fq1), _np(fidx_r1), self.frame_coder.gauss),
+            rans.encode_with_indexes(
+                _np(z_sym_f), _channel_indexes(_np(z_sym_f).shape),
+                self.frame_coder.z),
+        ]
+        zs = _np(z_sym).shape
+        zfs = _np(z_sym_f).shape
+        payload = {
+            "strings": {"motion": mv_strings, "frame": fr_strings},
+            "shape": {"motion": (zs[1], zs[2]), "frame": (zfs[1], zfs[2])},
+        }
+        return payload, new_dpb
+
+    # -- decode --------------------------------------------------------------
+
+    def decode_inter(self, strings, shapes, dpb, first_p: bool):
+        """Reconstruct from bytes only + DPB (mirror of encode)."""
+        cfg = self.model.cfg
+        p = self.params
+        # motion latent
+        z_sym = self.motion_coder.decode_z(
+            strings["motion"][2], shapes["motion"], cfg.ch_mv)
+        means, scales, idx_r0 = self._dec_mv_prior(
+            p, jnp.asarray(z_sym), dpb, first_p=first_p)
+        yq_r0 = self.motion_coder.decode_y(strings["motion"][0], idx_r0)
+        yh00, yh11, nm0, nm1, idx_r1 = self._dec_mv_spatial(
+            p, jnp.asarray(yq_r0), means, scales)
+        yq_r1 = self.motion_coder.decode_y(strings["motion"][1], idx_r1)
+        y_mv_hat, c1, c2, c3, _ = self._dec_mv_combine_ctx(
+            p, yh00, yh11, nm0, nm1, jnp.asarray(yq_r1), dpb,
+            first_p=first_p)
+
+        # frame latent
+        z_sym_f = self.frame_coder.decode_z(
+            strings["frame"][2], shapes["frame"], cfg.n)
+        means_f, scales_f, fidx_r0 = self._dec_fr_prior(
+            p, jnp.asarray(z_sym_f), dpb, c3, first_p=first_p)
+        fq_r0 = self.frame_coder.decode_y(strings["frame"][0], fidx_r0)
+        fh00, fh11, fm0, fm1, fidx_r1 = self._dec_fr_spatial(
+            p, jnp.asarray(fq_r0), means_f, scales_f)
+        fq_r1 = self.frame_coder.decode_y(strings["frame"][1], fidx_r1)
+        x_rec, new_dpb = self._dec_fr_recon(
+            p, fh00, fh11, fm0, fm1, jnp.asarray(fq_r1),
+            y_mv_hat, c1, c2, c3)
+        return x_rec, new_dpb
+
+
+class IntraCodec:
+    """Streaming I-frame codec over a trained CheckerboardImageCodec."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        p = params["params"]
+        gauss = gaussian_cdf_tables(get_scale_table())
+        self.coder = _CodedLatent(
+            gauss,
+            factorized_tables_from_params(
+                p["context_model"]["entropy_bottleneck"]),
+        )
+        m = model
+
+        def meth(name):
+            return functools.partial(m.apply, method=getattr(m, name))
+
+        self._dec_prior = jax.jit(meth("decode_prior"))
+        self._dec_spatial = jax.jit(meth("decode_spatial"))
+        self._dec_combine = jax.jit(meth("decode_combine"))
+        self._dec_recon = jax.jit(meth("decode_reconstruct"))
+        self._enc_latent = jax.jit(meth("encode_latent"))
+        self._enc_z = jax.jit(meth("encode_z"))
+        self._enc_anchor = jax.jit(meth("encode_anchors"))
+        self._enc_nonanchor = jax.jit(meth("encode_nonanchors"))
+
+    def compress(self, x):
+        """Bit-exact staged encode (priors via the decoder's programs)."""
+        p = self.params
+        y = self._enc_latent(p, x)
+        z_sym = self._enc_z(p, y)
+        means, scales, idx_r0 = self._dec_prior(p, z_sym)
+        q0 = self._enc_anchor(p, y, means)
+        yh00, yh11, nm0, nm1, idx_r1 = self._dec_spatial(
+            p, q0, means, scales)
+        q1 = self._enc_nonanchor(p, y, nm0, nm1)
+        strings = [
+            rans.encode_with_indexes(_np(q0), _np(idx_r0), self.coder.gauss),
+            rans.encode_with_indexes(_np(q1), _np(idx_r1), self.coder.gauss),
+            rans.encode_with_indexes(
+                _np(z_sym), _channel_indexes(_np(z_sym).shape),
+                self.coder.z),
+        ]
+        zs = _np(z_sym).shape
+        return {"strings": strings, "shape": (zs[1], zs[2])}
+
+    def decompress(self, strings, shape):
+        z_sym = self.coder.decode_z(strings[2], shape, self.model.n)
+        means, scales, idx_r0 = self._dec_prior(
+            self.params, jnp.asarray(z_sym))
+        yq_r0 = self.coder.decode_y(strings[0], idx_r0)
+        yh00, yh11, nm0, nm1, idx_r1 = self._dec_spatial(
+            self.params, jnp.asarray(yq_r0), means, scales)
+        yq_r1 = self.coder.decode_y(strings[1], idx_r1)
+        y_hat = self._dec_combine(
+            self.params, yh00, yh11, nm0, nm1, jnp.asarray(yq_r1))
+        return self._dec_recon(self.params, y_hat)

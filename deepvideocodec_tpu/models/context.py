@@ -272,6 +272,37 @@ class ContextModelBase(nn.Module):
         med = self.entropy_bottleneck.medians()[None, None, None, :]
         return z_symbols.astype(med.dtype) + med
 
+    # -- encoder-side symbol extraction -------------------------------------
+    # The bit-exact codec drives the *decoder's* jitted programs for every
+    # prior computation (see eval/codec.py); the encoder contributes only
+    # these cheap symbol extractions, always computed from decoder-produced
+    # means so encoder/decoder can never diverge.
+
+    def encode_z_symbols(self, y):
+        """y -> (z_symbols int32). Deterministic round around medians."""
+        z = self.hyper_encoder(y)
+        med = self.entropy_bottleneck.medians()[None, None, None, :]
+        return jnp.round(z - med).astype(jnp.int32)
+
+    def encode_anchor_symbols(self, y, means):
+        """Anchor-stream int32 symbol plane from decoder-produced means."""
+        _, H, W, _ = y.shape
+        m0, m1 = checkerboard_masks(H, W, y.dtype)
+        y_0, y_1 = _split2(y)
+        means_0, means_1 = _split2(means)
+        q00 = jnp.round((y_0 - means_0) * m0)
+        q11 = jnp.round((y_1 - means_1) * m1)
+        return (q00 + q11).astype(jnp.int32)
+
+    def encode_nonanchor_symbols(self, y, nm_0, nm_1):
+        """Non-anchor-stream symbols from the spatial prior's means."""
+        _, H, W, _ = y.shape
+        m0, m1 = checkerboard_masks(H, W, y.dtype)
+        y_0, y_1 = _split2(y)
+        q01 = jnp.round((y_0 - nm_0) * m1)
+        q10 = jnp.round((y_1 - nm_1) * m0)
+        return (q01 + q10).astype(jnp.int32)
+
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 

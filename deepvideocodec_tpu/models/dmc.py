@@ -41,9 +41,10 @@ from .context import MotionContextModel, FrameContextModel
 
 @dataclasses.dataclass(frozen=True)
 class DMCConfig:
-    ch_mv: int = 64   # motion latent channels
-    n: int = 64       # feature / hyper channels
-    m: int = 96       # frame latent channels
+    ch_mv: int = 64      # motion latent channels
+    n: int = 64          # feature / hyper channels
+    m: int = 96          # frame latent channels
+    unet_width: int = 32  # recon UNet base width (32 = reference ladder)
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
@@ -140,12 +141,13 @@ class ReconGeneration(nn.Module):
     """
 
     channels: int = 64
+    unet_width: int = 32
 
     @nn.compact
     def __call__(self, res, ctx):
         f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
-        f = UNet(self.channels)(f)
-        f = UNet(self.channels)(f)
+        f = UNet(self.channels, self.unet_width)(f)
+        f = UNet(self.channels, self.unet_width)(f)
         recon = conv(3)(f)
         return f, recon
 
@@ -170,7 +172,7 @@ class DMC(nn.Module):
         self.contextual_decoder = ContextualDecoder(c.n, c.m)
         self.frame_context_model = FrameContextModel(
             y_channels=c.m, z_channels=c.n)
-        self.recon_generation_net = ReconGeneration(c.n)
+        self.recon_generation_net = ReconGeneration(c.n, c.unet_width)
 
     # -- shared sub-graphs ---------------------------------------------------
 
@@ -317,6 +319,48 @@ class DMC(nn.Module):
             "dpb": new_dpb,
         }
 
+    # Encoder-only stages for the bit-exact codec path (eval/codec.py). All
+    # prior/means computation happens in the *decoder* stages below, which
+    # the encoder invokes on the same compiled programs — these methods only
+    # run analysis transforms and integer symbol extraction.
+
+    def encode_motion_latent(self, x_cur, dpb):
+        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        return self.motion_autoencoder.encode(mv)
+
+    def encode_motion(self, x_cur, dpb):
+        """Fused: flow + motion analysis + z symbols (one program)."""
+        y_mv = self.encode_motion_latent(x_cur, dpb)
+        return y_mv, self.motion_context_model.encode_z_symbols(y_mv)
+
+    def encode_frame(self, x_cur, c1, c2, c3):
+        """Fused: contextual analysis + z symbols (one program)."""
+        y = self.contextual_encoder(x_cur, c1, c2, c3)
+        return y, self.frame_context_model.encode_z_symbols(y)
+
+    def encode_motion_z(self, y_mv):
+        return self.motion_context_model.encode_z_symbols(y_mv)
+
+    def encode_motion_anchors(self, y_mv, means):
+        return self.motion_context_model.encode_anchor_symbols(y_mv, means)
+
+    def encode_motion_nonanchors(self, y_mv, nm_0, nm_1):
+        return self.motion_context_model.encode_nonanchor_symbols(
+            y_mv, nm_0, nm_1)
+
+    def encode_frame_latent(self, x_cur, c1, c2, c3):
+        return self.contextual_encoder(x_cur, c1, c2, c3)
+
+    def encode_frame_z(self, y):
+        return self.frame_context_model.encode_z_symbols(y)
+
+    def encode_frame_anchors(self, y, means):
+        return self.frame_context_model.encode_anchor_symbols(y, means)
+
+    def encode_frame_nonanchors(self, y, nm_0, nm_1):
+        return self.frame_context_model.encode_nonanchor_symbols(
+            y, nm_0, nm_1)
+
     def decode_motion_prior(self, z_mv_sym, dpb, first_p: bool):
         z_hat = self.motion_context_model.z_dequant(z_mv_sym)
         y_mv_ref = None if first_p else dpb["y_mv_ref"]
@@ -337,6 +381,23 @@ class DMC(nn.Module):
         """Motion decode -> warped contexts (device stage between streams)."""
         mv_hat = self.motion_autoencoder.decode(y_mv_hat)
         return self.motion_compensation(mv_hat, dpb, first_p)
+
+    def decode_motion_combine_contexts(
+        self, yh_00, yh_11, nm_0, nm_1, y_quant_r1, dpb, first_p: bool
+    ):
+        """Fused: fold motion streams + motion decode + context mining."""
+        y_mv_hat = self.motion_context_model.decode_combine_stage(
+            yh_00, yh_11, nm_0, nm_1, y_quant_r1)
+        c1, c2, c3, x_warp = self.decode_contexts(y_mv_hat, dpb, first_p)
+        return y_mv_hat, c1, c2, c3, x_warp
+
+    def decode_frame_reconstruct(
+        self, fh_00, fh_11, fm_0, fm_1, y_quant_r1, y_mv_hat, c1, c2, c3
+    ):
+        """Fused: fold frame streams + synthesis + recon -> (x_rec, dpb)."""
+        y_hat = self.frame_context_model.decode_combine_stage(
+            fh_00, fh_11, fm_0, fm_1, y_quant_r1)
+        return self.decode_reconstruct(y_hat, y_mv_hat, c1, c2, c3)
 
     def decode_frame_prior(self, z_sym, dpb, context3, first_p: bool):
         z_hat = self.frame_context_model.z_dequant(z_sym)

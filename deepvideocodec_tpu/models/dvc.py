@@ -64,12 +64,13 @@ class MotionCompensationNet(nn.Module):
     """Refines the warped prediction from (x_ref, warped, mv)."""
 
     channels: int = 64
+    unet_width: int = 32
 
     @nn.compact
     def __call__(self, x_ref, x_warp, mv):
         inp = jnp.concatenate([x_ref, x_warp, mv], axis=-1)
         f = leaky_relu(conv(self.channels)(inp), 0.1)
-        f = UNet(self.channels)(f)
+        f = UNet(self.channels, self.unet_width)(f)
         return x_warp + conv(3)(f)
 
 
@@ -79,13 +80,14 @@ class DVC(nn.Module):
     ch_mv: int = 64
     ch_res: int = 96
     n: int = 64
+    unet_width: int = 32
 
     def setup(self):
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(out_channels=2,
                                               channels=self.ch_mv)
         self.motion_coder = _HyperCoder(self.ch_mv, self.n)
-        self.mc_net = MotionCompensationNet(self.n)
+        self.mc_net = MotionCompensationNet(self.n, self.unet_width)
         self.residual_autoencoder = AutoEncoder(out_channels=3,
                                                 channels=self.ch_res)
         self.residual_coder = _HyperCoder(self.ch_res, self.n)

@@ -276,6 +276,21 @@ class CheckerboardImageCodec(nn.Module):
         return {"z_sym": z_sym, "q0": q0, "q1": q1, "i0": i0, "i1": i1,
                 "x_hat": x_hat}
 
+    # Encoder-only stages for the bit-exact staged path (eval/codec.py):
+    # all prior computation runs through the decode_* programs.
+
+    def encode_latent(self, x):
+        return self.g_a(x)
+
+    def encode_z(self, y):
+        return self.context_model.encode_z_symbols(y)
+
+    def encode_anchors(self, y, means):
+        return self.context_model.encode_anchor_symbols(y, means)
+
+    def encode_nonanchors(self, y, nm_0, nm_1):
+        return self.context_model.encode_nonanchor_symbols(y, nm_0, nm_1)
+
     def decode_prior(self, z_sym):
         z_hat = self.context_model.z_dequant(z_sym)
         means, scales = self.context_model.decode_prior_stage(z_hat)

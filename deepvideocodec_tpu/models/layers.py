@@ -186,22 +186,29 @@ class ConvBlockResidual(nn.Module):
 
 
 class UNet(nn.Module):
-    """3-level UNet (32/64/128) with a 4x ResBlock(relu) refinement trunk."""
+    """3-level UNet with a 4x ResBlock(relu) refinement trunk.
+
+    Default `width=32` gives the reference's 32/64/128 ladder
+    (layers.py:300-341); tests shrink `width` to keep 1-core CPU compiles
+    cheap without changing the topology.
+    """
 
     features: int = 64
+    width: int = 32
 
     @nn.compact
     def __call__(self, x):
-        x1 = ConvBlockResidual(32)(x)
+        w = self.width
+        x1 = ConvBlockResidual(w)(x)
         x2 = max_pool_2x2(x1)
-        x2 = ConvBlockResidual(64)(x2)
+        x2 = ConvBlockResidual(2 * w)(x2)
         x3 = max_pool_2x2(x2)
-        x3 = ConvBlockResidual(128)(x3)
+        x3 = ConvBlockResidual(4 * w)(x3)
         for _ in range(4):
-            x3 = ResBlock(128, slope=0.0)(x3)
-        d3 = SubpelConv(64, 2, kernel=1)(x3)
-        d3 = ConvBlockResidual(64)(jnp.concatenate([x2, d3], axis=-1))
-        d2 = SubpelConv(32, 2, kernel=1)(d3)
+            x3 = ResBlock(4 * w, slope=0.0)(x3)
+        d3 = SubpelConv(2 * w, 2, kernel=1)(x3)
+        d3 = ConvBlockResidual(2 * w)(jnp.concatenate([x2, d3], axis=-1))
+        d2 = SubpelConv(w, 2, kernel=1)(d3)
         d2 = ConvBlockResidual(self.features)(
             jnp.concatenate([x1, d2], axis=-1))
         return d2

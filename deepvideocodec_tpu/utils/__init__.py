@@ -1,0 +1,15 @@
+"""Utilities: metrics, meters, logging, checkpointing, profiling."""
+
+from .metrics import psnr, msssim, AverageMeter
+from .logging import setup_logger
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+
+__all__ = [
+    "psnr",
+    "msssim",
+    "AverageMeter",
+    "setup_logger",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+]

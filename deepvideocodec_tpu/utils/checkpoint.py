@@ -1,0 +1,56 @@
+"""Orbax checkpointing: params + optimizer state + step, best-loss tracking.
+
+The TPU-native replacement for the reference's torch.save checkpoints
+(/root/reference/dmc/train.py:400-403): step-keyed Orbax directories holding
+the full TrainState pytree (params, both optimizer partitions, step) plus
+epoch/loss metadata; `best` mirrors checkpoint_best_loss. Unlike the torch
+state-dict path there are no dynamically-sized CDF buffers to resize on load
+(utils.py:35-125) — CDF tables are rebuilt from params at codec construction.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(
+    directory,
+    step: int,
+    state: Any,
+    metrics: Optional[dict] = None,
+    is_best: bool = False,
+) -> None:
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(directory / f"step_{step:08d}", state, force=True)
+    ckpt.wait_until_finished()
+    if metrics is not None:
+        (directory / f"step_{step:08d}.json").write_text(
+            json.dumps(metrics))
+    if is_best:
+        (directory / "best.json").write_text(
+            json.dumps({"step": step, **(metrics or {})}))
+
+
+def latest_step(directory) -> Optional[int]:
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    steps = sorted(
+        int(p.name.split("_")[1])
+        for p in directory.glob("step_*")
+        if p.is_dir()
+    )
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(directory, step: int, target: Any) -> Any:
+    """Restore into the structure of `target` (a concrete TrainState)."""
+    directory = Path(directory).absolute()
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(directory / f"step_{step:08d}", target)

@@ -1,0 +1,131 @@
+"""Bit-exact codec round-trip tests — the all-or-nothing correctness core.
+
+Validates SURVEY.md hard part #1: the encoder drives the decoder's compiled
+programs, so the DPB the encoder propagates must equal what the standalone
+decoder reconstructs from the bytes, bit for bit, across multiple P-frames.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepvideocodec_tpu.models import DMC, DMCConfig, CheckerboardImageCodec
+from deepvideocodec_tpu.models.dmc import empty_dpb
+from deepvideocodec_tpu.eval.codec import DmcCodec, IntraCodec
+from deepvideocodec_tpu.eval.evaluator import evaluate_video
+
+KEY = jax.random.PRNGKey(7)
+SMALL = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16)
+
+
+def _synthetic_frames(n, h=64, w=64, seed=3):
+    """Smooth moving pattern (more codable than white noise)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = rng.random(3).astype(np.float32)
+    frames = []
+    for t in range(n):
+        img = np.stack(
+            [
+                0.5 + 0.4 * np.sin(2 * np.pi * (xx / 32 + 0.07 * t + b))
+                * np.cos(2 * np.pi * (yy / 24 - 0.05 * t))
+                for b in base
+            ],
+            axis=-1,
+        )
+        frames.append(np.clip(img, 0, 1)[None].astype(np.float32))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def dmc_codec():
+    model = DMC(cfg=SMALL)
+    frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+    params = model.init({"params": KEY, "noise": KEY}, frames, training=True)
+    return DmcCodec(model, params)
+
+
+@pytest.fixture(scope="module")
+def intra_codec():
+    model = CheckerboardImageCodec(n=16, m=24)
+    img = jax.random.uniform(KEY, (1, 64, 64, 3))
+    params = model.init({"params": KEY, "noise": KEY}, img, training=True)
+    return IntraCodec(model, params)
+
+
+class TestIntraRoundTrip:
+    def test_compress_decompress_deterministic(self, intra_codec):
+        x = _synthetic_frames(1)[0]
+        out = intra_codec.compress(jnp.asarray(x))
+        assert len(out["strings"]) == 3
+        rec1 = np.asarray(intra_codec.decompress(out["strings"],
+                                                 out["shape"]))
+        rec2 = np.asarray(intra_codec.decompress(out["strings"],
+                                                 out["shape"]))
+        np.testing.assert_array_equal(rec1, rec2)
+        assert rec1.shape == x.shape
+        assert np.all(rec1 >= 0) and np.all(rec1 <= 1)
+
+    def test_recompress_same_bytes(self, intra_codec):
+        x = jnp.asarray(_synthetic_frames(1)[0])
+        o1 = intra_codec.compress(x)
+        o2 = intra_codec.compress(x)
+        assert all(a == b for a, b in zip(o1["strings"], o2["strings"]))
+
+
+class TestDmcRoundTrip:
+    def test_pframe_bit_exact_dpb(self, dmc_codec):
+        frames = _synthetic_frames(3)
+        dpb = empty_dpb(1, 64, 64, SMALL)
+        dpb["x_ref"] = jnp.asarray(frames[0])
+
+        payload, enc_dpb = dmc_codec.encode_inter(
+            jnp.asarray(frames[1]), dpb, first_p=True)
+        x_rec, dec_dpb = dmc_codec.decode_inter(
+            payload["strings"], payload["shape"], dpb, first_p=True)
+
+        for k in enc_dpb:
+            np.testing.assert_array_equal(
+                np.asarray(enc_dpb[k]), np.asarray(dec_dpb[k]),
+                err_msg=f"DPB field {k} drifted")
+
+        # second P-frame chained on the decoded DPB, non-first path
+        payload2, enc_dpb2 = dmc_codec.encode_inter(
+            jnp.asarray(frames[2]), dec_dpb, first_p=False)
+        _, dec_dpb2 = dmc_codec.decode_inter(
+            payload2["strings"], payload2["shape"], dec_dpb, first_p=False)
+        for k in enc_dpb2:
+            np.testing.assert_array_equal(
+                np.asarray(enc_dpb2[k]), np.asarray(dec_dpb2[k]),
+                err_msg=f"frame-2 DPB field {k} drifted")
+
+    def test_stream_sizes_reasonable(self, dmc_codec):
+        frames = _synthetic_frames(2)
+        dpb = empty_dpb(1, 64, 64, SMALL)
+        dpb["x_ref"] = jnp.asarray(frames[0])
+        payload, _ = dmc_codec.encode_inter(
+            jnp.asarray(frames[1]), dpb, first_p=True)
+        total = sum(len(s) for unit in payload["strings"].values()
+                    for s in unit)
+        assert 0 < total < 64 * 64 * 3  # far below raw size
+
+
+class TestGopEvaluation:
+    def test_evaluate_video_end_to_end(self, dmc_codec, intra_codec,
+                                       tmp_path):
+        frames = _synthetic_frames(6)
+        stats = evaluate_video(
+            dmc_codec, intra_codec, frames,
+            bits_path=tmp_path / "seq.bits",
+            gop=4,
+            results_path=tmp_path / "q0.json",
+            video_name="synthetic", quality=0,
+        )
+        assert stats["frames"] == 6
+        assert stats["bpp"] > 0
+        assert np.isfinite(stats["psnr"])
+        assert (tmp_path / "seq.bits").stat().st_size > 0
+        import json
+        results = json.loads((tmp_path / "q0.json").read_text())
+        assert results[0]["video"] == "synthetic"

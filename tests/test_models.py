@@ -1,0 +1,155 @@
+"""Model-level tests: shapes, DPB recurrence, gradients, all families.
+
+Small channel configs keep CPU compiles fast; geometry (x16 latents,
+checkerboard phases, context scales) matches the full-size models.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepvideocodec_tpu.models import (
+    DMC,
+    DMCConfig,
+    DVC,
+    DCVC,
+    FactorizedImageCodec,
+    HyperpriorImageCodec,
+    CheckerboardImageCodec,
+)
+from deepvideocodec_tpu.models.dmc import empty_dpb
+from deepvideocodec_tpu.models.context import checkerboard_masks
+
+KEY = jax.random.PRNGKey(0)
+SMALL = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16)
+
+
+@pytest.fixture(scope="module")
+def dmc_small():
+    model = DMC(cfg=SMALL)
+    frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+    params = model.init({"params": KEY, "noise": KEY}, frames, training=True)
+    return model, params, frames
+
+
+class TestCheckerboardMasks:
+    def test_micro_pattern(self):
+        m0, m1 = checkerboard_masks(4, 4)
+        m0 = np.asarray(m0)[0, :, :, 0]
+        # reference micro mask ((1,0),(0,1)) tiled
+        expected = np.array([[1, 0, 1, 0], [0, 1, 0, 1],
+                             [1, 0, 1, 0], [0, 1, 0, 1]], np.float32)
+        np.testing.assert_array_equal(m0, expected)
+        np.testing.assert_array_equal(np.asarray(m1)[0, :, :, 0], 1 - expected)
+
+
+class TestDMC:
+    def test_forward_shapes(self, dmc_small):
+        model, params, frames = dmc_small
+        out = model.apply(params, frames, training=True,
+                          rngs={"noise": KEY})
+        assert out["x_hat"].shape == (1, 2, 64, 64, 3)
+        assert len(out["likelihoods"]) == 2
+        for lk in out["likelihoods"]:
+            assert set(lk) == {"motion", "frame"}
+            assert set(lk["motion"]) == {"y", "z"}
+            # y latent at /16
+            assert lk["motion"]["y"].shape == (1, 4, 4, SMALL.ch_mv)
+            assert lk["frame"]["y"].shape == (1, 4, 4, SMALL.m)
+            # z at /64
+            assert lk["motion"]["z"].shape == (1, 1, 1, SMALL.ch_mv)
+
+    def test_motion_pretrain_path(self, dmc_small):
+        model, params, frames = dmc_small
+        out = model.apply(params, frames, motion_pretrain=True,
+                          training=True, rngs={"noise": KEY})
+        for lk in out["likelihoods"]:
+            assert set(lk) == {"motion"}
+
+    def test_eval_mode_deterministic(self, dmc_small):
+        model, params, frames = dmc_small
+        o1 = model.apply(params, frames, training=False)
+        o2 = model.apply(params, frames, training=False)
+        np.testing.assert_array_equal(
+            np.asarray(o1["x_hat"]), np.asarray(o2["x_hat"]))
+
+    def test_two_frame_clip_no_dpb_propagation(self, dmc_small):
+        model, params, _ = dmc_small
+        frames2 = jax.random.uniform(KEY, (1, 2, 64, 64, 3))
+        out = model.apply(params, frames2, training=False)
+        assert out["x_hat"].shape == (1, 1, 64, 64, 3)
+
+    def test_aux_loss_positive(self, dmc_small):
+        model, params, _ = dmc_small
+        aux = model.apply(params, method=model.aux_loss)
+        assert float(aux) > 0
+
+    def test_forward_inter_dpb_shapes(self, dmc_small):
+        model, params, frames = dmc_small
+        dpb = empty_dpb(1, 64, 64, SMALL)
+        dpb["x_ref"] = frames[:, 0]
+        x_rec, lk, new_dpb = model.apply(
+            params, frames[:, 1], dpb, True,
+            method=model.forward_inter)
+        assert x_rec.shape == (1, 64, 64, 3)
+        assert new_dpb["feature_ref"].shape == (1, 64, 64, SMALL.n)
+        assert new_dpb["y_ref"].shape == (1, 4, 4, SMALL.m)
+        assert new_dpb["y_mv_ref"].shape == (1, 4, 4, SMALL.ch_mv)
+
+    def test_gradients_flow_everywhere(self, dmc_small):
+        model, params, frames = dmc_small
+
+        def loss(p):
+            out = model.apply(p, frames, training=True,
+                              rngs={"noise": KEY})
+            rate = sum(
+                jnp.sum(jnp.log(v))
+                for lk in out["likelihoods"]
+                for fields in lk.values()
+                for v in fields.values()
+            )
+            return jnp.sum(out["x_hat"] ** 2) - 1e-3 * rate
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        zero = [jax.tree_util.keystr(p) for p, l in flat
+                if float(jnp.sum(jnp.abs(l))) == 0]
+        # quantiles get no main-loss gradient by design; SE-layer FC pairs
+        # can be dead at random init (ReLU bottleneck of c/16 units)
+        unexpected = [n for n in zero
+                      if "quantiles" not in n and "SELayer" not in n]
+        assert not unexpected, unexpected[:10]
+        # and the vast majority of parameters must receive gradient
+        assert len(zero) < 0.1 * len(flat)
+
+
+class TestOtherFamilies:
+    @pytest.mark.parametrize("cls", [DVC, DCVC])
+    def test_video_family_forward(self, cls):
+        model = cls(ch_mv=16, n=16, unet_width=16) if cls.__name__ == "DVC" else cls(ch_mv=16, n=16)
+        frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+        params = model.init({"params": KEY, "noise": KEY}, frames,
+                            training=True)
+        out = model.apply(params, frames, training=True,
+                          rngs={"noise": KEY})
+        assert out["x_hat"].shape == (1, 2, 64, 64, 3)
+        for lk in out["likelihoods"]:
+            assert set(lk) == {"motion", "frame"}
+        aux = model.apply(params, method=model.aux_loss)
+        assert float(aux) > 0
+
+    @pytest.mark.parametrize(
+        "cls", [FactorizedImageCodec, HyperpriorImageCodec,
+                CheckerboardImageCodec])
+    def test_intra_family_forward(self, cls):
+        model = cls(n=16, m=24)
+        img = jax.random.uniform(KEY, (1, 64, 64, 3))
+        params = model.init({"params": KEY, "noise": KEY}, img,
+                            training=True)
+        out = model.apply(params, img, training=True, rngs={"noise": KEY})
+        assert out["x_hat"].shape == img.shape
+        for lk in out["likelihoods"].values():
+            assert np.all(np.asarray(lk) > 0)
+        aux = model.apply(params, method=model.aux_loss)
+        assert float(aux) > 0

@@ -1,0 +1,70 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The JAX-idiomatic fake-backend harness (SURVEY.md §4): conftest forces
+JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8, so sharding,
+collectives, and the data-parallel train step execute on 8 real XLA devices.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepvideocodec_tpu.models import DMC, DMCConfig
+from deepvideocodec_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_train_step,
+)
+from deepvideocodec_tpu.parallel.mesh import device_put_batch
+from deepvideocodec_tpu.train import create_train_state, stage_for_epoch
+
+KEY = jax.random.PRNGKey(0)
+SMALL = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_batch_sharded_across_devices():
+    mesh = make_mesh()
+    batch = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    sharded = jax.device_put(batch, shard_batch(mesh))
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(batch))
+
+
+def test_parallel_train_step_matches_single_device():
+    """DP over 8 chips must produce the same loss as a single-device step
+    on the same global batch (psum'd grads == full-batch grads)."""
+    mesh = make_mesh()
+    model = DMC(cfg=SMALL)
+    batch = jax.random.uniform(KEY, (8, 3, 64, 64, 3))
+    state = create_train_state(model, KEY, batch[:1], learning_rate=1e-4)
+    stage = stage_for_epoch(40)
+
+    pstep = make_parallel_train_step(model, stage, 2048.0, mesh)
+    state_repl = jax.device_put(state, replicate(mesh))
+    sharded = device_put_batch(batch, mesh)
+    new_state, metrics = pstep(state_repl, sharded, KEY)
+
+    from deepvideocodec_tpu.train import make_train_step
+    sstep = make_train_step(model, stage, 2048.0)
+    s_state, s_metrics = sstep(state, batch, KEY)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(s_metrics["loss"]), rtol=1e-5)
+    # parameters after the update agree (grad psum == full-batch grad)
+    p_leaf = np.asarray(jax.tree.leaves(new_state.params)[0])
+    s_leaf = np.asarray(jax.tree.leaves(s_state.params)[0])
+    np.testing.assert_allclose(p_leaf, s_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,170 @@
+"""Training-stack tests: loss math, curriculum, optimizers, train steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from deepvideocodec_tpu.models import DMC, DMCConfig
+from deepvideocodec_tpu.train import (
+    rate_distortion_loss,
+    stage_for_epoch,
+    make_optimizer,
+    partition_labels,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
+from deepvideocodec_tpu.train.optimizers import multistep_lr
+
+KEY = jax.random.PRNGKey(0)
+SMALL = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16)
+
+
+class TestLoss:
+    def test_matches_hand_computation(self, rng):
+        B, T1, H, W = 2, 2, 8, 8
+        x_hat = rng.random((B, T1, H, W, 3)).astype(np.float32)
+        target = rng.random((B, T1, H, W, 3)).astype(np.float32)
+        lk = rng.random((B, 4, 4, 6)).astype(np.float32) * 0.9 + 0.05
+        out = {
+            "x_hat": jnp.asarray(x_hat),
+            "likelihoods": [
+                {"motion": {"y": jnp.asarray(lk)}},
+                {"motion": {"y": jnp.asarray(lk * 0.5)}},
+            ],
+        }
+        lmbda = 2048.0
+        res = rate_distortion_loss(out, jnp.asarray(target), lmbda)
+
+        num_pixels = H * W * T1
+        mse_frames = ((x_hat - target) ** 2).mean(axis=(2, 3, 4))  # (B, T1)
+        exp_mse = mse_frames.mean()
+        exp_dist = mse_frames.sum(1) / T1
+        bits1 = np.log(lk).sum(axis=(1, 2, 3)) / (-np.log(2) * num_pixels)
+        bits2 = np.log(lk * 0.5).sum(axis=(1, 2, 3)) / (
+            -np.log(2) * num_pixels)
+        exp_bpp = (bits1 + bits2).mean()
+        exp_loss = (lmbda * exp_dist).mean() + exp_bpp
+
+        np.testing.assert_allclose(float(res["mse_loss"]), exp_mse,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(res["bpp_loss"]), exp_bpp,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(res["loss"]), exp_loss, rtol=1e-5)
+
+    def test_details_breakdown(self, rng):
+        lk = jnp.asarray(rng.random((1, 2, 2, 2)).astype(np.float32) * 0.5
+                         + 0.25)
+        out = {
+            "x_hat": jnp.zeros((1, 1, 8, 8, 3)),
+            "likelihoods": [{"frame": {"y": lk, "z": lk}}],
+        }
+        res = rate_distortion_loss(out, jnp.zeros((1, 1, 8, 8, 3)), 1.0,
+                                   return_details=True)
+        assert "bpp.frame.0.y" in res and "bpp.frame.0.z" in res
+        assert "frame0.mse_loss" in res
+
+
+class TestCurriculum:
+    def test_stage_boundaries(self):
+        assert stage_for_epoch(0).name == "motion_mse"
+        assert stage_for_epoch(9).motion_pretrain
+        assert stage_for_epoch(9).loss_key == "mse_loss"
+        assert stage_for_epoch(10).loss_key == "loss"
+        assert stage_for_epoch(10).motion_pretrain
+        assert stage_for_epoch(20).frame_pretrain
+        assert stage_for_epoch(20).loss_key == "mse_loss"
+        assert stage_for_epoch(35).loss_key == "loss"
+        s45 = stage_for_epoch(45)
+        assert not s45.motion_pretrain and not s45.frame_pretrain
+        assert not s45.use_intra_iframe
+        assert stage_for_epoch(50).use_intra_iframe
+        assert stage_for_epoch(199).use_intra_iframe
+
+
+class TestOptimizers:
+    def test_partition_labels(self):
+        params = {
+            "params": {
+                "entropy_bottleneck": {
+                    "quantiles": jnp.zeros((4, 1, 3)),
+                    "matrix_0": jnp.zeros((4, 3, 1)),
+                },
+                "conv": {"kernel": jnp.zeros((3, 3, 4, 4))},
+            }
+        }
+        labels = partition_labels(params)
+        assert labels["params"]["entropy_bottleneck"]["quantiles"] == "aux"
+        assert labels["params"]["entropy_bottleneck"]["matrix_0"] == "main"
+        assert labels["params"]["conv"]["kernel"] == "main"
+
+    def test_multistep_schedule(self):
+        sched = multistep_lr(1e-4, milestones=[10], gamma=0.1)
+        assert abs(float(sched(0)) - 1e-4) < 1e-12
+        assert abs(float(sched(9)) - 1e-4) < 1e-12
+        assert abs(float(sched(11)) - 1e-5) < 1e-12
+
+    def test_clip_applies_to_main_only(self):
+        tx = make_optimizer(1.0, aux_learning_rate=1.0, clip_max_norm=1.0)
+        params = {"w": jnp.ones(3), "quantiles": jnp.ones(3)}
+        state = tx.init(params)
+        grads = {"w": jnp.full(3, 100.0), "quantiles": jnp.full(3, 100.0)}
+        updates, _ = tx.update(grads, state, params)
+        # main grads clipped to norm 1 before adam; both end up ~ -lr * sign
+        assert np.all(np.isfinite(np.asarray(updates["w"])))
+        assert np.all(np.isfinite(np.asarray(updates["quantiles"])))
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = DMC(cfg=SMALL)
+        batch = jax.random.uniform(KEY, (2, 3, 64, 64, 3))
+        state = create_train_state(model, KEY, batch[:1],
+                                   learning_rate=1e-4)
+        return model, state, batch
+
+    def test_one_step_updates_params(self, setup):
+        model, state, batch = setup
+        stage = stage_for_epoch(40)
+        step = make_train_step(model, stage, lmbda=2048.0)
+        new_state, metrics = step(state, batch, KEY)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["aux_loss"]))
+        assert int(new_state.step) == 1
+        # params changed
+        before = jax.tree.leaves(state.params)[0]
+        after = jax.tree.leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_motion_stage_runs(self, setup):
+        model, state, batch = setup
+        stage = stage_for_epoch(0)
+        step = make_train_step(model, stage, lmbda=2048.0)
+        _, metrics = step(state, batch, KEY)
+        assert np.isfinite(float(metrics["mse_loss"]))
+
+    def test_eval_step_deterministic(self, setup):
+        model, state, batch = setup
+        stage = stage_for_epoch(40)
+        eval_step = make_eval_step(model, stage, lmbda=2048.0)
+        m1 = eval_step(state.params, batch)
+        m2 = eval_step(state.params, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_quantiles_move_only_via_aux(self, setup):
+        model, state, batch = setup
+        stage = stage_for_epoch(40)
+        step = make_train_step(model, stage, lmbda=2048.0)
+        new_state, _ = step(state, batch, KEY)
+
+        def get_quantiles(p):
+            return p["params"]["motion_context_model"][
+                "entropy_bottleneck"]["quantiles"]
+
+        q0 = np.asarray(get_quantiles(state.params))
+        q1 = np.asarray(get_quantiles(new_state.params))
+        # aux loss is nonzero at init -> quantiles must move
+        assert not np.allclose(q0, q1)
