@@ -24,7 +24,7 @@ BASELINE_FPS = 1.5
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_cache_dvc")
+                          "/root/repo/.jax_cache")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -1,7 +1,7 @@
 """Evaluation: bitstream container, real-codec drivers, GOP loop, metrics."""
 
 from .bitstream import write_body, read_body, write_uints, read_uints
-from .codec import DmcCodec, IntraCodec
+from .codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
 from .evaluator import evaluate_video, pad_to_multiple, crop_to
 
 __all__ = [
@@ -10,6 +10,8 @@ __all__ = [
     "write_uints",
     "read_uints",
     "DmcCodec",
+    "DvcCodec",
+    "DcvcCodec",
     "IntraCodec",
     "evaluate_video",
     "pad_to_multiple",

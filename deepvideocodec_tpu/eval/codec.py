@@ -115,6 +115,16 @@ class DmcCodec:
         self._enc_fr_anchor = jax.jit(meth("encode_frame_anchors"))
         self._enc_fr_nonanchor = jax.jit(meth("encode_frame_nonanchors"))
 
+    def init_dpb(self, x_ref):
+        """Fresh decoded-picture buffer seeded with an I-frame recon."""
+        from ..models.dmc import empty_dpb
+
+        x_ref = jnp.asarray(x_ref)
+        dpb = empty_dpb(x_ref.shape[0], x_ref.shape[1], x_ref.shape[2],
+                        self.model.cfg)
+        dpb["x_ref"] = x_ref
+        return dpb
+
     # -- encode --------------------------------------------------------------
 
     def encode_inter(self, x, dpb, first_p: bool):
@@ -203,6 +213,187 @@ class DmcCodec:
             p, fh00, fh11, fm0, fm1, jnp.asarray(fq_r1),
             y_mv_hat, c1, c2, c3)
         return x_rec, new_dpb
+
+
+class DvcCodec:
+    """Streaming DVC encoder/decoder (explicit residual coding).
+
+    Per P-frame: motion unit [y_mv, z_mv] + residual unit [y_res, z_res];
+    plain mean-scale hyperprior streams (no checkerboard), so decode costs
+    one device-host round trip per latent. DPB is just {x_ref}.
+    """
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        p = params["params"]
+        gauss = gaussian_cdf_tables(get_scale_table())
+        self.motion_coder = _CodedLatent(
+            gauss, factorized_tables_from_params(
+                p["motion_coder"]["entropy_bottleneck"]))
+        self.residual_coder = _CodedLatent(
+            gauss, factorized_tables_from_params(
+                p["residual_coder"]["entropy_bottleneck"]))
+        m = model
+
+        def meth(name):
+            return functools.partial(m.apply, method=getattr(m, name))
+
+        self._enc_motion = jax.jit(meth("encode_motion"))
+        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"))
+        self._enc_mv_sym = jax.jit(meth("encode_motion_symbols"))
+        self._dec_pred = jax.jit(meth("decode_prediction"))
+        self._enc_res = jax.jit(meth("encode_residual"))
+        self._dec_res_prior = jax.jit(meth("decode_residual_prior"))
+        self._enc_res_sym = jax.jit(meth("encode_residual_symbols"))
+        self._dec_recon = jax.jit(meth("decode_reconstruct"))
+
+    def init_dpb(self, x_ref):
+        return {"x_ref": jnp.asarray(x_ref)}
+
+    def encode_inter(self, x, dpb, first_p: bool = False):
+        del first_p  # DVC has no latent refs; kept for driver symmetry
+        p = self.params
+        x_ref = dpb["x_ref"]
+        y_mv, z_mv = self._enc_motion(p, x, x_ref)
+        mv_means, mv_idx = self._dec_mv_prior(p, z_mv)
+        y_mv_sym = self._enc_mv_sym(p, y_mv, mv_means)
+        x_pred = self._dec_pred(p, y_mv_sym, mv_means, x_ref)
+
+        y_res, z_res = self._enc_res(p, x, x_pred)
+        r_means, r_idx = self._dec_res_prior(p, z_res)
+        y_res_sym = self._enc_res_sym(p, y_res, r_means)
+        x_rec = self._dec_recon(p, y_res_sym, r_means, x_pred)
+
+        payload = {
+            "strings": {
+                "motion": [
+                    rans.encode_with_indexes(
+                        _np(y_mv_sym), _np(mv_idx), self.motion_coder.gauss),
+                    rans.encode_with_indexes(
+                        _np(z_mv), _channel_indexes(_np(z_mv).shape),
+                        self.motion_coder.z),
+                ],
+                "frame": [
+                    rans.encode_with_indexes(
+                        _np(y_res_sym), _np(r_idx),
+                        self.residual_coder.gauss),
+                    rans.encode_with_indexes(
+                        _np(z_res), _channel_indexes(_np(z_res).shape),
+                        self.residual_coder.z),
+                ],
+            },
+            "shape": {
+                "motion": tuple(_np(z_mv).shape[1:3]),
+                "frame": tuple(_np(z_res).shape[1:3]),
+            },
+        }
+        return payload, {"x_ref": x_rec}
+
+    def decode_inter(self, strings, shapes, dpb, first_p: bool = False):
+        del first_p
+        p = self.params
+        x_ref = dpb["x_ref"]
+        z_mv = self.motion_coder.decode_z(
+            strings["motion"][1], shapes["motion"], self.model.n)
+        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(z_mv))
+        y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
+        x_pred = self._dec_pred(p, jnp.asarray(y_mv_sym), mv_means, x_ref)
+
+        z_res = self.residual_coder.decode_z(
+            strings["frame"][1], shapes["frame"], self.model.n)
+        r_means, r_idx = self._dec_res_prior(p, jnp.asarray(z_res))
+        y_res_sym = self.residual_coder.decode_y(strings["frame"][0], r_idx)
+        x_rec = self._dec_recon(p, jnp.asarray(y_res_sym), r_means, x_pred)
+        return x_rec, {"x_ref": x_rec}
+
+
+class DcvcCodec:
+    """Streaming DCVC encoder/decoder (conditional contextual coding)."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        p = params["params"]
+        gauss = gaussian_cdf_tables(get_scale_table())
+        self.motion_coder = _CodedLatent(
+            gauss, factorized_tables_from_params(
+                p["motion_coder"]["entropy_bottleneck"]))
+        self.frame_coder = _CodedLatent(
+            gauss, factorized_tables_from_params(
+                p["frame_coder"]["entropy_bottleneck"]))
+        m = model
+
+        def meth(name):
+            return functools.partial(m.apply, method=getattr(m, name))
+
+        self._enc_motion = jax.jit(meth("encode_motion"))
+        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"))
+        self._enc_mv_sym = jax.jit(meth("encode_motion_symbols"))
+        self._dec_ctx = jax.jit(meth("decode_context"))
+        self._enc_frame = jax.jit(meth("encode_frame"))
+        self._dec_fr_prior = jax.jit(meth("decode_frame_prior"))
+        self._enc_fr_sym = jax.jit(meth("encode_frame_symbols"))
+        self._dec_recon = jax.jit(meth("decode_reconstruct"))
+
+    def init_dpb(self, x_ref):
+        return {"x_ref": jnp.asarray(x_ref)}
+
+    def encode_inter(self, x, dpb, first_p: bool = False):
+        del first_p
+        p = self.params
+        x_ref = dpb["x_ref"]
+        y_mv, z_mv = self._enc_motion(p, x, x_ref)
+        mv_means, mv_idx = self._dec_mv_prior(p, z_mv)
+        y_mv_sym = self._enc_mv_sym(p, y_mv, mv_means)
+        context, ctx_small = self._dec_ctx(p, y_mv_sym, mv_means, x_ref)
+
+        y, z = self._enc_frame(p, x, context)
+        means, idx = self._dec_fr_prior(p, z, ctx_small)
+        y_sym = self._enc_fr_sym(p, y, means)
+        x_rec = self._dec_recon(p, y_sym, means, context)
+
+        payload = {
+            "strings": {
+                "motion": [
+                    rans.encode_with_indexes(
+                        _np(y_mv_sym), _np(mv_idx), self.motion_coder.gauss),
+                    rans.encode_with_indexes(
+                        _np(z_mv), _channel_indexes(_np(z_mv).shape),
+                        self.motion_coder.z),
+                ],
+                "frame": [
+                    rans.encode_with_indexes(
+                        _np(y_sym), _np(idx), self.frame_coder.gauss),
+                    rans.encode_with_indexes(
+                        _np(z), _channel_indexes(_np(z).shape),
+                        self.frame_coder.z),
+                ],
+            },
+            "shape": {
+                "motion": tuple(_np(z_mv).shape[1:3]),
+                "frame": tuple(_np(z).shape[1:3]),
+            },
+        }
+        return payload, {"x_ref": x_rec}
+
+    def decode_inter(self, strings, shapes, dpb, first_p: bool = False):
+        del first_p
+        p = self.params
+        x_ref = dpb["x_ref"]
+        z_mv = self.motion_coder.decode_z(
+            strings["motion"][1], shapes["motion"], self.model.n)
+        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(z_mv))
+        y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
+        context, ctx_small = self._dec_ctx(
+            p, jnp.asarray(y_mv_sym), mv_means, x_ref)
+
+        z = self.frame_coder.decode_z(
+            strings["frame"][1], shapes["frame"], self.model.n)
+        means, idx = self._dec_fr_prior(p, jnp.asarray(z), ctx_small)
+        y_sym = self.frame_coder.decode_y(strings["frame"][0], idx)
+        x_rec = self._dec_recon(p, jnp.asarray(y_sym), means, context)
+        return x_rec, {"x_ref": x_rec}
 
 
 class IntraCodec:

@@ -93,10 +93,7 @@ def evaluate_video(
                     out["strings"], out["shape"])
                 rec_pad = np.asarray(rec_pad)
                 write_body(f, out["shape"], out["strings"])
-                from ..models.dmc import empty_dpb
-                dpb = empty_dpb(1, x_pad.shape[1], x_pad.shape[2],
-                                inter_codec.model.cfg)
-                dpb["x_ref"] = rec_pad
+                dpb = inter_codec.init_dpb(rec_pad)
                 first_p = True
             else:
                 payload, _enc_dpb = inter_codec.encode_inter(

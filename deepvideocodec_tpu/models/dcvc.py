@@ -106,6 +106,26 @@ class _ContextualCoder(nn.Module):
         y_lk = gaussian_likelihood(y_tilde, scales, means)
         return y_hat, {"y": y_lk, "z": z_lk}
 
+    # staged real-coding helpers
+
+    def encode_z_symbols(self, y):
+        z = self.hyper_encoder(y)
+        med = self.entropy_bottleneck.medians()[None, None, None, :]
+        return jnp.round(z - med).astype(jnp.int32)
+
+    def decode_prior(self, z_sym, context_small):
+        from ..entropy.gaussian import build_indexes
+        from ..entropy.cdf import get_scale_table
+
+        med = self.entropy_bottleneck.medians()[None, None, None, :]
+        z_hat = z_sym.astype(med.dtype) + med
+        hyper = self.hyper_decoder(z_hat)
+        temporal = self.temporal_prior_encoder(context_small)
+        means, scales = _split2(
+            self.fusion(jnp.concatenate([hyper, temporal], axis=-1)))
+        idx = build_indexes(scales, jnp.asarray(get_scale_table()))
+        return means, idx
+
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
@@ -155,6 +175,40 @@ class DCVC(nn.Module):
                 x_ref = jnp.clip(x_rec, 0.0, 1.0)
         return {"x_hat": jnp.stack(recons, axis=1),
                 "likelihoods": likelihoods}
+
+    # -- real-codec device stages --------------------------------------------
+
+    def encode_motion(self, x_cur, x_ref):
+        mv = self.optic_flow(x_cur, x_ref)
+        y_mv = self.motion_autoencoder.encode(mv)
+        return y_mv, self.motion_coder.encode_z_symbols(y_mv)
+
+    def decode_motion_prior(self, z_sym):
+        return self.motion_coder.decode_prior(z_sym)
+
+    def encode_motion_symbols(self, y_mv, means):
+        return self.motion_coder.encode_y_symbols(y_mv, means)
+
+    def decode_context(self, y_mv_sym, means, x_ref):
+        """Motion dequant/decode -> (context, context_small)."""
+        y_mv_hat = self.motion_coder.dequant_y(y_mv_sym, means)
+        mv_hat = self.motion_autoencoder.decode(y_mv_hat)
+        context = self.context_net(x_ref, mv_hat)
+        return context, self.ctx_downsample(context)
+
+    def encode_frame(self, x_cur, context):
+        y = self.contextual_encoder(x_cur, context)
+        return y, self.frame_coder.encode_z_symbols(y)
+
+    def decode_frame_prior(self, z_sym, context_small):
+        return self.frame_coder.decode_prior(z_sym, context_small)
+
+    def encode_frame_symbols(self, y, means):
+        return jnp.round(y - means).astype(jnp.int32)
+
+    def decode_reconstruct(self, y_sym, means, context):
+        y_hat = y_sym.astype(means.dtype) + means
+        return jnp.clip(self.contextual_decoder(y_hat, context), 0.0, 1.0)
 
     def aux_loss(self):
         return self.motion_coder.aux_loss() + self.frame_coder.aux_loss()

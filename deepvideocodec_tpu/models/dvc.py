@@ -56,6 +56,30 @@ class _HyperCoder(nn.Module):
         y_lk = gaussian_likelihood(y_tilde, scales, means)
         return y_hat, {"y": y_lk, "z": z_lk}
 
+    # staged real-coding helpers (encoder drives decode_prior's program)
+
+    def encode_z_symbols(self, y):
+        z = self.hyper_encoder(y)
+        med = self.entropy_bottleneck.medians()[None, None, None, :]
+        return jnp.round(z - med).astype(jnp.int32)
+
+    def decode_prior(self, z_sym):
+        """z symbols -> (means, CDF-index plane) for the single y stream."""
+        from ..entropy.gaussian import build_indexes
+        from ..entropy.cdf import get_scale_table
+
+        med = self.entropy_bottleneck.medians()[None, None, None, :]
+        z_hat = z_sym.astype(med.dtype) + med
+        means, scales = _split2(self.hyper_decoder(z_hat))
+        idx = build_indexes(scales, jnp.asarray(get_scale_table()))
+        return means, idx
+
+    def encode_y_symbols(self, y, means):
+        return jnp.round(y - means).astype(jnp.int32)
+
+    def dequant_y(self, y_sym, means):
+        return y_sym.astype(means.dtype) + means
+
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
@@ -123,6 +147,43 @@ class DVC(nn.Module):
                 x_ref = x_rec
         return {"x_hat": jnp.stack(recons, axis=1),
                 "likelihoods": likelihoods}
+
+    # -- real-codec device stages (host rANS between them; the encoder
+    # invokes the decode_* programs for every prior, mirroring the DMC
+    # staging discipline for bit-exact round trips) --------------------------
+
+    def encode_motion(self, x_cur, x_ref):
+        mv = self.optic_flow(x_cur, x_ref)
+        y_mv = self.motion_autoencoder.encode(mv)
+        return y_mv, self.motion_coder.encode_z_symbols(y_mv)
+
+    def decode_motion_prior(self, z_sym):
+        return self.motion_coder.decode_prior(z_sym)
+
+    def encode_motion_symbols(self, y_mv, means):
+        return self.motion_coder.encode_y_symbols(y_mv, means)
+
+    def decode_prediction(self, y_mv_sym, means, x_ref):
+        """Motion dequant + decode + warp + MC refine -> x_pred."""
+        y_mv_hat = self.motion_coder.dequant_y(y_mv_sym, means)
+        mv_hat = self.motion_autoencoder.decode(y_mv_hat)
+        x_warp = flow_warp(x_ref, mv_hat)
+        return self.mc_net(x_ref, x_warp, mv_hat)
+
+    def encode_residual(self, x_cur, x_pred):
+        y_res = self.residual_autoencoder.encode(x_cur - x_pred)
+        return y_res, self.residual_coder.encode_z_symbols(y_res)
+
+    def decode_residual_prior(self, z_sym):
+        return self.residual_coder.decode_prior(z_sym)
+
+    def encode_residual_symbols(self, y_res, means):
+        return self.residual_coder.encode_y_symbols(y_res, means)
+
+    def decode_reconstruct(self, y_res_sym, means, x_pred):
+        y_res_hat = self.residual_coder.dequant_y(y_res_sym, means)
+        res_hat = self.residual_autoencoder.decode(y_res_hat)
+        return jnp.clip(x_pred + res_hat, 0.0, 1.0)
 
     def aux_loss(self):
         return self.motion_coder.aux_loss() + self.residual_coder.aux_loss()
