@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from deepvideocodec_tpu.models import DMC, CheckerboardImageCodec
+    from deepvideocodec_tpu.models import DMC, fast_init
     from deepvideocodec_tpu.models.dmc import empty_dpb
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
@@ -40,11 +40,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     model = DMC()
-    init_frames = jnp.zeros((1, 2, 64, 64, 3))
-    # jit the init: eager init round-trips per op over the device link
-    init_fn = jax.jit(lambda k, f: model.init(
-        {"params": k, "noise": k}, f, training=False))
-    params = jax.block_until_ready(init_fn(key, init_frames))
+    params = jax.block_until_ready(fast_init(model, key))
     codec = DmcCodec(model, params)
 
     frames = [

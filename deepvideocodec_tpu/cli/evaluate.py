@@ -42,10 +42,18 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..models import DMC, CheckerboardImageCodec
+    from ..models import DMC, CheckerboardImageCodec, fast_init
     from ..eval.codec import DmcCodec, IntraCodec
     from ..eval.evaluator import evaluate_video, load_png_frames
     from ..utils import setup_logger, restore_checkpoint, latest_step
+
+    # Validate inputs before model construction (init + CDF tables cost
+    # minutes cold; a bad --frames-root should fail in milliseconds).
+    seq_dirs = sorted(
+        p for p in Path(args.frames_root).iterdir() if p.is_dir())
+    if not seq_dirs:
+        raise FileNotFoundError(
+            f"no sequence dirs under {args.frames_root}")
 
     results_dir = Path(args.results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
@@ -53,8 +61,8 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(0)
     model = DMC()
-    ex = jnp.zeros((1, 2, 64, 64, 3))
-    params = model.init({"params": rng, "noise": rng}, ex, training=False)
+    ex = jnp.zeros((1, 3, 64, 64, 3))
+    params = fast_init(model, rng)
     if args.checkpoint:
         step = latest_step(args.checkpoint)
         if step is None:
@@ -67,9 +75,7 @@ def main(argv=None):
         logging.info("loaded inter ckpt step %d", step)
 
     intra_model = CheckerboardImageCodec()
-    img = jnp.zeros((1, 64, 64, 3))
-    intra_params = intra_model.init(
-        {"params": rng, "noise": rng}, img, training=False)
+    intra_params = fast_init(intra_model, rng)
     if args.intra_checkpoint:
         istep = latest_step(args.intra_checkpoint)
         if istep is not None:
@@ -79,12 +85,6 @@ def main(argv=None):
 
     inter_codec = DmcCodec(model, params)
     intra_codec = IntraCodec(intra_model, intra_params)
-
-    seq_dirs = sorted(
-        p for p in Path(args.frames_root).iterdir() if p.is_dir())
-    if not seq_dirs:
-        raise FileNotFoundError(
-            f"no sequence dirs under {args.frames_root}")
 
     for q in args.qualities:
         agg_bpp, agg_psnr = [], []

@@ -118,9 +118,8 @@ def main(argv=None):
     intra_model = intra_params = None
     if args.intra_checkpoint:
         intra_model = CheckerboardImageCodec()
-        img = jnp.zeros((1, *args.patch_size, 3))
-        intra_params = intra_model.init(
-            {"params": rng, "noise": rng}, img, training=False)
+        from ..models import fast_init
+        intra_params = fast_init(intra_model, rng)
         istep = latest_step(args.intra_checkpoint)
         if istep is not None:
             intra_params = restore_checkpoint(

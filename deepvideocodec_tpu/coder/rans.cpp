@@ -140,13 +140,19 @@ int64_t dvc_rans_encode_with_indexes(
     const int32_t cdf_len = cdf_lengths[idx];
     const int32_t max_value = cdf_len - 2;  // index of escape bin
 
-    int32_t value = values[i] - offsets[idx];
-    int32_t raw_val = 0;
+    // 64-bit: values/offsets are int32 so their difference (and the folded
+    // raw value below) overflows int32. With 32-bit arithmetic an INT32_MIN
+    // symbol made raw_val negative via UB, and the arithmetic right shift in
+    // the chunk-count loop then never reached zero — an infinite loop on the
+    // kind of garbage symbols an untrained model can emit. The unsigned
+    // 64-bit form is total over the full int32 input range.
+    int64_t value = static_cast<int64_t>(values[i]) - offsets[idx];
+    uint64_t raw_val = 0;
     if (value < 0) {
-      raw_val = -2 * value - 1;
+      raw_val = static_cast<uint64_t>(-2 * value - 1);
       value = max_value;
     } else if (value >= max_value) {
-      raw_val = 2 * (value - max_value);
+      raw_val = static_cast<uint64_t>(2 * (value - max_value));
       value = max_value;
     }
     enc.put_symbol(cdf[value], cdf[value + 1] - cdf[value]);
@@ -162,7 +168,8 @@ int64_t dvc_rans_encode_with_indexes(
       }
       enc.put_bypass(v);
       for (int32_t j = 0; j < n_bypass; ++j)
-        enc.put_bypass((raw_val >> (j * kBypassPrecision)) & kMaxBypassVal);
+        enc.put_bypass(static_cast<int32_t>(
+            (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal));
     }
   }
   std::vector<uint8_t> bytes = enc.flush();
@@ -189,19 +196,24 @@ int64_t dvc_rans_decode_with_indexes(
     int32_t s = find_symbol(cdf, cdf_len, cum);
     dec.advance(cdf[s], cdf[s + 1] - cdf[s]);
 
-    int32_t value = s;
+    int64_t value = s;
     if (s == max_value) {
       int32_t n_bypass = 0, chunk;
       while ((chunk = dec.get_bypass()) == kMaxBypassVal)
         n_bypass += kMaxBypassVal;
       n_bypass += chunk;
-      int32_t raw_val = 0;
-      for (int32_t j = 0; j < n_bypass; ++j)
-        raw_val |= dec.get_bypass() << (j * kBypassPrecision);
-      value = (raw_val >> 1) + max_value;
-      if (raw_val & 1) value = -((raw_val + 1) >> 1);  // raw odd -> negative
+      uint64_t raw_val = 0;  // 64-bit mirror of the encoder (see above)
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        const uint64_t chunk_bits =
+            static_cast<uint64_t>(dec.get_bypass());
+        if (j * kBypassPrecision < 64)  // guard UB on corrupt streams
+          raw_val |= chunk_bits << (j * kBypassPrecision);
+      }
+      value = static_cast<int64_t>(raw_val >> 1) + max_value;
+      if (raw_val & 1)  // raw odd -> negative
+        value = -static_cast<int64_t>((raw_val + 1) >> 1);
     }
-    out_values[i] = value + offsets[idx];
+    out_values[i] = static_cast<int32_t>(value + offsets[idx]);
   }
   return 0;
 }

@@ -23,6 +23,7 @@ from .cdf import (
     pmf_to_quantized_cdf,
     gaussian_cdf_tables,
     factorized_cdf_tables,
+    factorized_tables_from_params,
     CdfTable,
     SCALES_MIN,
     SCALES_MAX,
@@ -38,6 +39,7 @@ __all__ = [
     "pmf_to_quantized_cdf",
     "gaussian_cdf_tables",
     "factorized_cdf_tables",
+    "factorized_tables_from_params",
     "CdfTable",
     "SCALES_MIN",
     "SCALES_MAX",

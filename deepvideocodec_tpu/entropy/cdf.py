@@ -98,22 +98,43 @@ def pmf_to_quantized_cdf(
 
 
 def _pack_rows(pmfs, tail_masses, pmf_lengths, precision=CDF_PRECISION):
-    """Build a padded CdfTable matrix out of variable-length pmf rows."""
+    """Build a padded CdfTable matrix out of variable-length pmf rows.
+
+    Uses the native C++ quantizer when available (the Python twin is kept
+    as the portable fallback and for cross-checking in tests).
+    """
+    try:
+        from .rans import pmf_to_quantized_cdf_native as _native
+    except Exception:  # pragma: no cover - toolchain-less hosts
+        _native = None
+
     rows = len(pmf_lengths)
     max_len = int(max(pmf_lengths)) + 2
     out = np.zeros((rows, max_len), np.int32)
     for r in range(rows):
         n = int(pmf_lengths[r])
-        row_pmf = np.concatenate([pmfs[r][:n], [tail_masses[r]]])
-        cdf = pmf_to_quantized_cdf(row_pmf, precision)
-        out[r, : n + 2] = cdf
+        if _native is not None and precision == CDF_PRECISION:
+            out[r, : n + 2] = _native(pmfs[r][:n], float(tail_masses[r]))
+        else:
+            row_pmf = np.concatenate([pmfs[r][:n], [tail_masses[r]]])
+            out[r, : n + 2] = pmf_to_quantized_cdf(row_pmf, precision)
     return out
+
+
+_GAUSSIAN_TABLE_CACHE = {}
 
 
 def gaussian_cdf_tables(
     scale_table: np.ndarray, tail_mass: float = 1e-9
 ) -> CdfTable:
-    """One CDF row per quantized scale, centered pmfs over +/- tail range."""
+    """One CDF row per quantized scale, centered pmfs over +/- tail range.
+
+    Memoized: every codec instance shares the standard 64-scale table.
+    """
+    key = (scale_table.tobytes(), float(tail_mass))
+    cached = _GAUSSIAN_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     from scipy.stats import norm  # available via jax's scipy dep
 
     scale_table = np.asarray(scale_table, np.float64)
@@ -131,11 +152,13 @@ def gaussian_cdf_tables(
     tail = 2.0 * lower[:, :1]
 
     quantized = _pack_rows(pmf, tail[:, 0], pmf_length)
-    return CdfTable(
+    table = CdfTable(
         quantized_cdf=quantized,
         cdf_length=(pmf_length + 2).astype(np.int32),
         offset=(-pmf_center).astype(np.int32),
     )
+    _GAUSSIAN_TABLE_CACHE[key] = table
+    return table
 
 
 def _std_cdf(x):

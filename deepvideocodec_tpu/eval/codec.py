@@ -127,14 +127,20 @@ class DmcCodec:
 
     # -- encode --------------------------------------------------------------
 
-    def encode_inter(self, x, dpb, first_p: bool):
-        """Encode one P-frame; returns (payload, new_dpb).
+    def encode_device(self, x, dpb, first_p: bool):
+        """All device stages of one P-frame encode; no host coding.
 
         Every prior/means computation runs through the decoder's compiled
         programs on the same inputs the decoder will see, so the returned
         DPB is bit-identical to what decode_inter reconstructs from the
-        bytes — no drift across a GOP.
+        bytes — no drift across a GOP. Returns (planes, new_dpb) where
+        `planes` holds the int32 symbol/index device arrays the host coder
+        consumes; producing the actual bytes (`encode_bytes`) is off the
+        frame-recurrence critical path, so callers can overlap it with the
+        next frame's device work (see eval/pipeline.py).
         """
+        if x.shape[0] != 1:
+            raise ValueError("streaming codec codes one sequence at a time")
         p = self.params
         # motion latent
         y_mv, z_sym = self._enc_motion(p, x, dpb)
@@ -159,27 +165,37 @@ class DmcCodec:
             p, fh00, fh11, fm0, fm1, fq1, y_mv_hat, c1, c2, c3)
         del x_rec  # carried inside new_dpb["x_ref"]
 
-        mv_strings = [
-            rans.encode_with_indexes(_np(q0), _np(idx_r0), self.motion_coder.gauss),
-            rans.encode_with_indexes(_np(q1), _np(idx_r1), self.motion_coder.gauss),
-            rans.encode_with_indexes(
-                _np(z_sym), _channel_indexes(_np(z_sym).shape),
-                self.motion_coder.z),
-        ]
-        fr_strings = [
-            rans.encode_with_indexes(_np(fq0), _np(fidx_r0), self.frame_coder.gauss),
-            rans.encode_with_indexes(_np(fq1), _np(fidx_r1), self.frame_coder.gauss),
-            rans.encode_with_indexes(
-                _np(z_sym_f), _channel_indexes(_np(z_sym_f).shape),
-                self.frame_coder.z),
-        ]
-        zs = _np(z_sym).shape
-        zfs = _np(z_sym_f).shape
-        payload = {
-            "strings": {"motion": mv_strings, "frame": fr_strings},
-            "shape": {"motion": (zs[1], zs[2]), "frame": (zfs[1], zfs[2])},
+        planes = {
+            "motion": {"q0": q0, "i0": idx_r0, "q1": q1, "i1": idx_r1,
+                       "z_sym": z_sym},
+            "frame": {"q0": fq0, "i0": fidx_r0, "q1": fq1, "i1": fidx_r1,
+                      "z_sym": z_sym_f},
         }
-        return payload, new_dpb
+        return planes, new_dpb
+
+    def encode_bytes(self, planes):
+        """Host rANS: symbol/index planes -> bitstream payload dict."""
+        payload = {"strings": {}, "shape": {}}
+        for key, coder in (("motion", self.motion_coder),
+                           ("frame", self.frame_coder)):
+            u = planes[key]
+            z_sym = _np(u["z_sym"])
+            payload["strings"][key] = [
+                rans.encode_with_indexes(_np(u["q0"]), _np(u["i0"]),
+                                         coder.gauss),
+                rans.encode_with_indexes(_np(u["q1"]), _np(u["i1"]),
+                                         coder.gauss),
+                rans.encode_with_indexes(
+                    z_sym, _channel_indexes(z_sym.shape), coder.z),
+            ]
+            payload["shape"][key] = (z_sym.shape[1], z_sym.shape[2])
+        return payload
+
+    def encode_inter(self, x, dpb, first_p: bool):
+        """Encode one P-frame; returns (payload, new_dpb). Synchronous
+        convenience wrapper over encode_device + encode_bytes."""
+        planes, new_dpb = self.encode_device(x, dpb, first_p)
+        return self.encode_bytes(planes), new_dpb
 
     # -- decode --------------------------------------------------------------
 

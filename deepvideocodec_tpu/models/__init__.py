@@ -9,6 +9,7 @@
 """
 
 from .dmc import DMC, DMCConfig
+from .init import fast_init
 from .intra import (
     FactorizedImageCodec,
     HyperpriorImageCodec,
@@ -20,6 +21,7 @@ from .dcvc import DCVC
 __all__ = [
     "DMC",
     "DMCConfig",
+    "fast_init",
     "FactorizedImageCodec",
     "HyperpriorImageCodec",
     "CheckerboardImageCodec",

@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     replicate,
     make_parallel_train_step,
+    device_put_batch,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_parallel_train_step",
+    "device_put_batch",
 ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -28,6 +29,39 @@ def partition_labels(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def clip_by_global_norm_safe(max_norm: float) -> optax.GradientTransformation:
+    """Overflow-proof global-norm clip.
+
+    optax.clip_by_global_norm squares leaves in fp32; a gradient spike past
+    ~1e19 (easy at RD-loss scale lambda=2048 early in training) overflows the
+    sum to inf, the scale becomes 0, and the whole update silently vanishes.
+    Here the norm is computed on max-rescaled gradients — norm = M *
+    ||g / M|| with M the global absmax — which cannot overflow, so a spike
+    step clips to `max_norm` instead of stalling. Non-finite gradients still
+    produce a non-finite norm (surfaced in metrics), never a fake zero.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(updates)
+        absmax = jnp.max(jnp.stack(
+            [jnp.max(jnp.abs(g.astype(jnp.float32))) for g in leaves]))
+        m = jnp.maximum(absmax, 1e-30)
+        sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32) / m))
+                 for g in leaves)
+        norm = m * jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-30))
+        return (jax.tree_util.tree_map(
+            lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+            updates), state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     learning_rate,
     aux_learning_rate: float = 1e-3,
@@ -36,7 +70,7 @@ def make_optimizer(
     """learning_rate may be a float or an optax schedule (MultiStep-style)."""
     main_chain = []
     if clip_max_norm and clip_max_norm > 0:
-        main_chain.append(optax.clip_by_global_norm(clip_max_norm))
+        main_chain.append(clip_by_global_norm_safe(clip_max_norm))
     main_chain.append(optax.adam(learning_rate))
     return optax.multi_transform(
         {"main": optax.chain(*main_chain), "aux": optax.adam(aux_learning_rate)},

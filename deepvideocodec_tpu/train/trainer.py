@@ -50,10 +50,15 @@ def create_train_state(
     aux_learning_rate: float = 1e-3,
     clip_max_norm: float = 1.0,
 ) -> TrainState:
+    del example_batch  # param shapes don't depend on the batch geometry
     params_rng, noise_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": params_rng, "noise": noise_rng},
-        example_batch, training=True)
+    # Stage-wise init: one small jitted program per codec stage instead of
+    # a monolithic init graph (XLA whole-program compile is superlinear —
+    # see models/init.py). Values are bit-identical to model.init.
+    from ..models.init import fast_init
+
+    variables = fast_init(
+        model, {"params": params_rng, "noise": noise_rng})
     tx = make_optimizer(learning_rate, aux_learning_rate, clip_max_norm)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -1,17 +1,36 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes — this file is imported by pytest
-before any test module touches jax.
+The machine environment pins JAX_PLATFORMS=axon (remote TPU) and a
+sitecustomize imports jax at interpreter startup, so by the time pytest
+loads this file the env var has already been latched into jax's config —
+plain os.environ edits are too late. `jax.config.update` before any backend
+is instantiated is the reliable switch; XLA_FLAGS is still read at backend
+init so setting it here works.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_backend_optimization_level" not in flags:
+    # Compile-time matters far more than runtime for the suite (1-core CPU
+    # host; LLVM codegen per conv dominates): -O0 compiles ~3x faster.
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on cpu, got {jax.devices()}")
+
+# Persistent compilation cache: the suite is compile-dominated (dozens of
+# jitted codec programs); repeat runs hit the cache instead of XLA.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

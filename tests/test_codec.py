@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from deepvideocodec_tpu.models import DMC, DMCConfig, CheckerboardImageCodec
+from deepvideocodec_tpu.models import (
+    DMC, DMCConfig, CheckerboardImageCodec, fast_init)
 from deepvideocodec_tpu.models.dmc import empty_dpb
 from deepvideocodec_tpu.eval.codec import DmcCodec, IntraCodec
 from deepvideocodec_tpu.eval.evaluator import evaluate_video
@@ -42,7 +43,7 @@ def _synthetic_frames(n, h=64, w=64, seed=3):
 def dmc_codec():
     model = DMC(cfg=SMALL)
     frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
-    params = model.init({"params": KEY, "noise": KEY}, frames, training=True)
+    params = fast_init(model, KEY)
     return DmcCodec(model, params)
 
 
@@ -50,7 +51,7 @@ def dmc_codec():
 def intra_codec():
     model = CheckerboardImageCodec(n=16, m=24)
     img = jax.random.uniform(KEY, (1, 64, 64, 3))
-    params = model.init({"params": KEY, "noise": KEY}, img, training=True)
+    params = fast_init(model, KEY)
     return IntraCodec(model, params)
 
 

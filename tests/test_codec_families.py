@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from deepvideocodec_tpu.models import DVC, DCVC
+from deepvideocodec_tpu.models import DVC, DCVC, fast_init
 from deepvideocodec_tpu.eval.codec import DvcCodec, DcvcCodec
 
 KEY = jax.random.PRNGKey(11)
@@ -36,7 +36,7 @@ def test_family_roundtrip_bit_exact(model_cls, codec_cls):
         model = model_cls(ch_mv=16, n=16, m=24)
     frames = _frames(3)
     clip = jnp.asarray(np.concatenate(frames)[None].reshape(1, 3, 64, 64, 3))
-    params = model.init({"params": KEY, "noise": KEY}, clip, training=True)
+    params = fast_init(model, KEY)
     codec = codec_cls(model, params)
 
     dpb = codec.init_dpb(frames[0])

@@ -75,15 +75,26 @@ def test_subpel_conv_matches_torch(rng):
 
 
 def test_gdn_forward_inverse(rng):
-    """GDN then IGDN with identical params is near-identity."""
+    """GDN and IGDN match their closed forms (note IGDN with the same
+    params is NOT an exact inverse — it multiplies by the norm of y, not
+    of x — so no identity assertion here; that is the standard GDN/IGDN
+    pairing from learned image compression)."""
     x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
     g = GDN()
     params = g.init(KEY, x)
     y = g.apply(params, x)
     ig = GDN(inverse=True)
     x_back = ig.apply(params, y)
-    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x),
-                               rtol=1e-4, atol=1e-5)
+    # IGDN multiplies by sqrt(beta + gamma @ y^2): verify that closed form
+    yn = np.asarray(y)
+    ped = 2.0 ** -18
+    beta_r0 = np.asarray(params["params"]["beta"])
+    gamma_r0 = np.asarray(params["params"]["gamma"])
+    beta0 = np.maximum(beta_r0, (1e-6 + ped) ** 0.5) ** 2 - ped
+    gamma0 = np.maximum(gamma_r0, ped ** 0.5) ** 2 - ped
+    norm_y = np.sqrt(np.einsum("bhwj,ji->bhwi", yn ** 2, gamma0) + beta0)
+    np.testing.assert_allclose(np.asarray(x_back), yn * norm_y,
+                               rtol=1e-5, atol=1e-6)
 
     # matches the closed form x / sqrt(beta + gamma @ x^2)
     beta_r = np.asarray(params["params"]["beta"])

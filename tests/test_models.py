@@ -17,6 +17,7 @@ from deepvideocodec_tpu.models import (
     FactorizedImageCodec,
     HyperpriorImageCodec,
     CheckerboardImageCodec,
+    fast_init,
 )
 from deepvideocodec_tpu.models.dmc import empty_dpb
 from deepvideocodec_tpu.models.context import checkerboard_masks
@@ -29,7 +30,7 @@ SMALL = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16)
 def dmc_small():
     model = DMC(cfg=SMALL)
     frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
-    params = model.init({"params": KEY, "noise": KEY}, frames, training=True)
+    params = fast_init(model, KEY)
     return model, params, frames
 
 
@@ -129,8 +130,7 @@ class TestOtherFamilies:
     def test_video_family_forward(self, cls):
         model = cls(ch_mv=16, n=16, unet_width=16) if cls.__name__ == "DVC" else cls(ch_mv=16, n=16)
         frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
-        params = model.init({"params": KEY, "noise": KEY}, frames,
-                            training=True)
+        params = fast_init(model, KEY)
         out = model.apply(params, frames, training=True,
                           rngs={"noise": KEY})
         assert out["x_hat"].shape == (1, 2, 64, 64, 3)
@@ -145,11 +145,46 @@ class TestOtherFamilies:
     def test_intra_family_forward(self, cls):
         model = cls(n=16, m=24)
         img = jax.random.uniform(KEY, (1, 64, 64, 3))
-        params = model.init({"params": KEY, "noise": KEY}, img,
-                            training=True)
+        params = fast_init(model, KEY)
         out = model.apply(params, img, training=True, rngs={"noise": KEY})
         assert out["x_hat"].shape == img.shape
         for lk in out["likelihoods"].values():
             assert np.all(np.asarray(lk) > 0)
         aux = model.apply(params, method=model.aux_loss)
         assert float(aux) > 0
+
+
+class TestFastInit:
+    """fast_init must equal monolithic model.init (see models/init.py)."""
+
+    def test_dmc_structure_matches_monolithic(self, dmc_small):
+        model, params, frames = dmc_small
+        # eval_shape = monolithic init's tree without compiling it
+        ref = jax.eval_shape(
+            lambda k, f: model.init({"params": k, "noise": k}, f,
+                                    training=True), KEY, frames)
+        ref_map = {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_flatten_with_path(ref)[0]}
+        got_map = {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert ref_map == got_map
+
+    def test_values_bit_identical_to_monolithic(self):
+        # Small enough to afford the monolithic compile; value-level check
+        # that linen's path-based rng folding makes stage-wise init exact.
+        model = HyperpriorImageCodec(n=8, m=12)
+        key = jax.random.PRNGKey(42)
+        x = jnp.zeros((1, 64, 64, 3))
+        mono = jax.jit(lambda k, xx: model.init(
+            {"params": k, "noise": k}, xx, training=True))(key, x)
+        fast = fast_init(model, key)
+        mono_leaves = jax.tree_util.tree_flatten_with_path(mono)[0]
+        fast_map = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(fast)[0]}
+        assert len(mono_leaves) == len(fast_map)
+        for k, v in mono_leaves:
+            ks = jax.tree_util.keystr(k)
+            assert np.array_equal(np.asarray(v), np.asarray(fast_map[ks])), ks

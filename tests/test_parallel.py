@@ -43,7 +43,12 @@ def test_parallel_train_step_matches_single_device():
     model = DMC(cfg=SMALL)
     batch = jax.random.uniform(KEY, (8, 3, 64, 64, 3))
     state = create_train_state(model, KEY, batch[:1], learning_rate=1e-4)
-    stage = stage_for_epoch(40)
+    # Motion-pretrain stage: outputs (warped frames) are bounded, so grads
+    # are numerically sane at random init and the psum-vs-monolithic
+    # comparison is meaningful. The full e2e stage at lambda=2048 produces
+    # ~1e20 losses from an untrained net, where float32 reduction-order
+    # noise flips individual gradient signs and no tolerance is honest.
+    stage = stage_for_epoch(0)
 
     pstep = make_parallel_train_step(model, stage, 2048.0, mesh)
     state_repl = jax.device_put(state, replicate(mesh))

@@ -106,3 +106,25 @@ class TestNativeCdf:
         data = encode_with_indexes(values, indexes, table)
         np.testing.assert_array_equal(
             decode_with_indexes(data, indexes, table), values)
+
+
+class TestExtremeSymbols:
+    def test_full_int32_range_roundtrips(self):
+        """Regression: INT32_MIN symbols used to hang the bypass encoder.
+
+        -2*value-1 overflowed int32 (UB) and the arithmetic right shift in
+        the chunk-count loop never reached zero. An untrained model can emit
+        such garbage symbols (NaN/overflow latents -> int32 cast), and the
+        coder must stay total over the whole input domain.
+        """
+        from deepvideocodec_tpu.entropy.cdf import (
+            gaussian_cdf_tables, get_scale_table)
+
+        table = gaussian_cdf_tables(get_scale_table())
+        values = np.array(
+            [0, 1, -1, 2**31 - 1, -(2**31), 123456789, -987654321, 40, -40],
+            np.int32)
+        indexes = (np.arange(values.size) % 64).astype(np.int32)
+        data = encode_with_indexes(values, indexes, table)
+        out = decode_with_indexes(data, indexes, table)
+        np.testing.assert_array_equal(out, values)

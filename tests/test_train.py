@@ -102,9 +102,10 @@ class TestOptimizers:
 
     def test_multistep_schedule(self):
         sched = multistep_lr(1e-4, milestones=[10], gamma=0.1)
-        assert abs(float(sched(0)) - 1e-4) < 1e-12
-        assert abs(float(sched(9)) - 1e-4) < 1e-12
-        assert abs(float(sched(11)) - 1e-5) < 1e-12
+        # schedule evaluates in float32; compare at float32 precision
+        assert abs(float(sched(0)) - 1e-4) < 1e-10
+        assert abs(float(sched(9)) - 1e-4) < 1e-10
+        assert abs(float(sched(11)) - 1e-5) < 1e-10
 
     def test_clip_applies_to_main_only(self):
         tx = make_optimizer(1.0, aux_learning_rate=1.0, clip_max_norm=1.0)
