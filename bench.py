@@ -3,7 +3,10 @@
 Protocol: pad 1080p to 1088x1920 (x64 multiple, reference test.py:159),
 stream P-frames through the REAL codec path — all device NN stages plus the
 host rANS coder on actual bytes — exactly what `evaluate_video` runs per
-frame. Reports one JSON line for the driver.
+frame, scheduled as the streaming pipeline (eval/pipeline.py): device
+encode drives the recurrence, host rANS and the standalone decoder overlap
+it. Frames enter as uint8 (what a real video source delivers) and are
+converted on device. Reports one JSON line for the driver.
 
 vs_baseline: the reference publishes no speed numbers (BASELINE.md — README
 is an empty TODO list). The denominator used here is 1.5 fps, a documented
@@ -17,7 +20,10 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 BASELINE_FPS = 1.5
 
@@ -30,49 +36,85 @@ def main():
     import numpy as np
 
     from deepvideocodec_tpu.models import DMC, fast_init
-    from deepvideocodec_tpu.models.dmc import empty_dpb
+    from deepvideocodec_tpu.models.dmc import DMCConfig, empty_dpb
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
     from deepvideocodec_tpu.eval.evaluator import pad_to_multiple
 
     h, w = 1080, 1920
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     key = jax.random.PRNGKey(0)
-    model = DMC()
+    model = DMC(cfg=DMCConfig(dtype=dtype))
     params = jax.block_until_ready(fast_init(model, key))
     codec = DmcCodec(model, params)
 
-    frames = [
-        pad_to_multiple(f) for f in
-        synthetic_video_frames(n_frames + 2, h, w, seed=0)
+    # uint8 source frames (8-bit video), converted to float on device —
+    # a 1080p frame is 6.3 MB over the host link instead of 25 MB.
+    frames_u8 = [
+        (pad_to_multiple(f) * 255.0 + 0.5).astype(np.uint8)
+        for f in synthetic_video_frames(n_frames + 2, h, w, seed=0)
     ]
-    Hp, Wp = frames[0].shape[1:3]
+    Hp, Wp = frames_u8[0].shape[1:3]
+    to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
 
     dpb = empty_dpb(1, Hp, Wp, model.cfg)
-    dpb["x_ref"] = jnp.asarray(frames[0])
+    dpb["x_ref"] = to_f32(jnp.asarray(frames_u8[0]))
 
-    # warmup / compile both first_p variants
-    payload, _ = codec.encode_inter(jnp.asarray(frames[1]), dpb,
-                                    first_p=True)
-    _, dpb1 = codec.decode_inter(payload["strings"], payload["shape"],
-                                 dpb, first_p=True)
-    payload, _ = codec.encode_inter(jnp.asarray(frames[2]), dpb1,
-                                    first_p=False)
-    _, dpb2 = codec.decode_inter(payload["strings"], payload["shape"],
-                                 dpb1, first_p=False)
+    # warmup / compile both first_p variants of every program
+    pl, dpb1 = codec.encode_device(to_f32(jnp.asarray(frames_u8[1])), dpb,
+                                   first_p=True)
+    pay = codec.encode_bytes(pl)
+    _, dpb1 = codec.decode_inter(pay["strings"], pay["shape"], dpb,
+                                 first_p=True)
+    pl, dpb2 = codec.encode_device(to_f32(jnp.asarray(frames_u8[2])), dpb1,
+                                   first_p=False)
+    pay = codec.encode_bytes(pl)
+    _, dpb2 = codec.decode_inter(pay["strings"], pay["shape"], dpb1,
+                                 first_p=False)
     jax.block_until_ready(dpb2["x_ref"])
 
-    # timed: n_frames P-frames, full encode+decode incl. host rANS
-    cur = dpb2
+    # timed: n_frames P-frames, streaming pipeline — encoder thread drives
+    # the device recurrence; rANS byte production and the standalone
+    # decoder (bytes -> pixels) overlap it.
+    err = []
+    payload_q: "queue.Queue" = queue.Queue(maxsize=4)
+    dec_done = threading.Event()
+
+    def decoder():
+        try:
+            cur = dpb2
+            while True:
+                item = payload_q.get()
+                if item is None:
+                    jax.block_until_ready(cur["x_ref"])
+                    return
+                fut = item
+                pay = fut.result()
+                _, cur = codec.decode_inter(pay["strings"], pay["shape"],
+                                            cur, first_p=False)
+        except BaseException as e:  # pragma: no cover
+            err.append(e)
+        finally:
+            dec_done.set()
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    dec_thread = threading.Thread(target=decoder, daemon=True)
+
     t0 = time.perf_counter()
+    dec_thread.start()
+    cur_enc = dpb2
     for i in range(n_frames):
-        x = jnp.asarray(frames[2 + i])
-        payload, _ = codec.encode_inter(x, cur, first_p=False)
-        _, cur = codec.decode_inter(payload["strings"], payload["shape"],
-                                    cur, first_p=False)
-    jax.block_until_ready(cur["x_ref"])
+        x = to_f32(jnp.asarray(frames_u8[2 + i % n_frames]))
+        planes, cur_enc = codec.encode_device(x, cur_enc, first_p=False)
+        payload_q.put(pool.submit(codec.encode_bytes, planes))
+    payload_q.put(None)
+    dec_thread.join()
+    pool.shutdown(wait=True)
     elapsed = time.perf_counter() - t0
+    if err:
+        raise err[0]
 
     fps = n_frames / elapsed
     print(json.dumps({

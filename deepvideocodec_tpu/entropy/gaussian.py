@@ -65,5 +65,8 @@ def build_indexes(scales: jax.Array, scale_table: jax.Array) -> jax.Array:
     (/root/reference/dmc/models/video_model.py:248-249).
     """
     s = lower_bound(scales.astype(jnp.float32), LOWER_BOUND_SCALE)
-    # count of table[:-1] entries strictly below s == searchsorted-left
-    return jnp.searchsorted(scale_table[:-1], s, side="left").astype(jnp.int32)
+    # count of table[:-1] entries strictly below s == searchsorted-left.
+    # uint8 (the table has 64 rows): index planes cross the device->host
+    # boundary every frame, and the PCIe/tunnel link is the codec's
+    # bottleneck — 4x smaller than int32.
+    return jnp.searchsorted(scale_table[:-1], s, side="left").astype(jnp.uint8)

@@ -42,6 +42,13 @@ def _np(x) -> np.ndarray:
     return np.asarray(jax.device_get(x))
 
 
+def _sym16_np(x) -> np.ndarray:
+    """Bitstream-decoded symbols as int16 for upload (matches the int16
+    planes the encoder's programs were traced with; valid streams only ever
+    carry encoder-clamped int16-range symbols)."""
+    return np.clip(np.asarray(x), -32767, 32767).astype(np.int16)
+
+
 class _CodedLatent:
     """Host-side coder for one latent's 3 streams."""
 
@@ -210,10 +217,10 @@ class DmcCodec:
             p, jnp.asarray(z_sym), dpb, first_p=first_p)
         yq_r0 = self.motion_coder.decode_y(strings["motion"][0], idx_r0)
         yh00, yh11, nm0, nm1, idx_r1 = self._dec_mv_spatial(
-            p, jnp.asarray(yq_r0), means, scales)
+            p, jnp.asarray(_sym16_np(yq_r0)), means, scales)
         yq_r1 = self.motion_coder.decode_y(strings["motion"][1], idx_r1)
         y_mv_hat, c1, c2, c3, _ = self._dec_mv_combine_ctx(
-            p, yh00, yh11, nm0, nm1, jnp.asarray(yq_r1), dpb,
+            p, yh00, yh11, nm0, nm1, jnp.asarray(_sym16_np(yq_r1)), dpb,
             first_p=first_p)
 
         # frame latent
@@ -223,10 +230,10 @@ class DmcCodec:
             p, jnp.asarray(z_sym_f), dpb, c3, first_p=first_p)
         fq_r0 = self.frame_coder.decode_y(strings["frame"][0], fidx_r0)
         fh00, fh11, fm0, fm1, fidx_r1 = self._dec_fr_spatial(
-            p, jnp.asarray(fq_r0), means_f, scales_f)
+            p, jnp.asarray(_sym16_np(fq_r0)), means_f, scales_f)
         fq_r1 = self.frame_coder.decode_y(strings["frame"][1], fidx_r1)
         x_rec, new_dpb = self._dec_fr_recon(
-            p, fh00, fh11, fm0, fm1, jnp.asarray(fq_r1),
+            p, fh00, fh11, fm0, fm1, jnp.asarray(_sym16_np(fq_r1)),
             y_mv_hat, c1, c2, c3)
         return x_rec, new_dpb
 
@@ -465,8 +472,8 @@ class IntraCodec:
             self.params, jnp.asarray(z_sym))
         yq_r0 = self.coder.decode_y(strings[0], idx_r0)
         yh00, yh11, nm0, nm1, idx_r1 = self._dec_spatial(
-            self.params, jnp.asarray(yq_r0), means, scales)
+            self.params, jnp.asarray(_sym16_np(yq_r0)), means, scales)
         yq_r1 = self.coder.decode_y(strings[1], idx_r1)
         y_hat = self._dec_combine(
-            self.params, yh00, yh11, nm0, nm1, jnp.asarray(yq_r1))
+            self.params, yh00, yh11, nm0, nm1, jnp.asarray(_sym16_np(yq_r1)))
         return self._dec_recon(self.params, y_hat)

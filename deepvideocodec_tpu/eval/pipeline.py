@@ -31,7 +31,7 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 from .bitstream import write_body
-from .evaluator import pad_to_multiple, crop_to, psnr
+from .evaluator import pad_to_multiple, device_mse, mses_to_psnrs
 
 
 class _DecodeWorker:
@@ -42,7 +42,7 @@ class _DecodeWorker:
         self.intra = intra_codec
         self.f = bits_file
         self.q: "queue.Queue" = queue.Queue(maxsize=4)
-        self.psnrs = []
+        self.mses = []  # device scalars; one readback at join()
         self.error: Optional[BaseException] = None
         self.dpb = None
         self.first_p = True
@@ -55,11 +55,11 @@ class _DecodeWorker:
                 item = self.q.get()
                 if item is None:
                     return
-                kind, payload_or_future, x, size = item
+                kind, payload_or_future, x_pad_dev, size = item
                 if kind == "i":
                     out = payload_or_future  # intra payload (already bytes)
-                    rec_pad = np.asarray(self.intra.decompress(
-                        out["strings"], out["shape"]))
+                    rec_pad = self.intra.decompress(
+                        out["strings"], out["shape"])
                     if self.f is not None:
                         write_body(self.f, out["shape"], out["strings"])
                     self.dpb = self.inter.init_dpb(rec_pad)
@@ -69,14 +69,12 @@ class _DecodeWorker:
                     rec_pad, self.dpb = self.inter.decode_inter(
                         payload["strings"], payload["shape"], self.dpb,
                         first_p=self.first_p)
-                    rec_pad = np.asarray(rec_pad)
                     if self.f is not None:
                         for key in ("motion", "frame"):
                             write_body(self.f, payload["shape"][key],
                                        payload["strings"][key])
                     self.first_p = False
-                rec = crop_to(rec_pad, size)
-                self.psnrs.append(psnr(x, rec))
+                self.mses.append(device_mse(x_pad_dev, rec_pad, size))
         except BaseException as e:  # surfaced in join()
             self.error = e
 
@@ -90,7 +88,7 @@ class _DecodeWorker:
         self.thread.join()
         if self.error is not None:
             raise self.error
-        return self.psnrs
+        return mses_to_psnrs(self.mses)
 
 
 def code_sequence_pipelined(
@@ -119,22 +117,24 @@ def code_sequence_pipelined(
     enc_dpb = None
     first_p = True
     try:
+        import jax.numpy as jnp
+
         for fi, x in enumerate(frames):
             x = np.asarray(x)
             _, h, w, _ = x.shape
-            x_pad = pad_to_multiple(x, 64)
+            x_pad = jnp.asarray(pad_to_multiple(x, 64))
             if fi % gop == 0:
                 out = intra_codec.compress(x_pad)
-                rec_pad = np.asarray(intra_codec.decompress(
-                    out["strings"], out["shape"]))
+                rec_pad = intra_codec.decompress(
+                    out["strings"], out["shape"])
                 enc_dpb = inter_codec.init_dpb(rec_pad)
                 first_p = True
-                worker.put(("i", out, x, (h, w)))
+                worker.put(("i", out, x_pad, (h, w)))
             else:
                 planes, enc_dpb = inter_codec.encode_device(
                     x_pad, enc_dpb, first_p=first_p)
                 fut = pool.submit(inter_codec.encode_bytes, planes)
-                worker.put(("p", fut, x, (h, w)))
+                worker.put(("p", fut, x_pad, (h, w)))
                 first_p = False
             n += 1
         psnrs = worker.join()

@@ -46,6 +46,16 @@ def _split2(t):
     return t[..., :c], t[..., c:]
 
 
+def _sym16(v):
+    """Quantized symbols as int16: they cross the device->host link every
+    frame and the link is the codec bottleneck. Clamping to int16 range is
+    part of the codec contract (applied identically on the encoder's
+    embedded decode and to bitstream-decoded symbols, so encode/decode stay
+    bit-exact); trained-model symbols live in [-few hundred, few hundred].
+    """
+    return jnp.clip(jnp.round(v), -32767, 32767).astype(jnp.int16)
+
+
 def _process_with_mask(y, means, scales, mask):
     """STE-quantize the mean-removed latent on the masked positions."""
     means_hat = means * mask
@@ -65,7 +75,8 @@ class PriorFusion(nn.Module):
     def __call__(self, x):
         for h in self.hidden:
             x = leaky_relu(conv(h)(x), 0.2)
-        return conv(self.out_channels * 2)(x)
+        # means/scales reach the quantizer + entropy coder: keep f32
+        return conv(self.out_channels * 2, dtype=jnp.float32)(x)
 
 
 class ContextModelBase(nn.Module):
@@ -216,8 +227,8 @@ class ContextModelBase(nn.Module):
         return (
             y_hat,
             z_symbols,
-            jnp.round(yq_w0).astype(jnp.int32),
-            jnp.round(yq_w1).astype(jnp.int32),
+            _sym16(yq_w0),
+            _sym16(yq_w1),
             build_indexes(s_w0, table),
             build_indexes(s_w1, table),
         )
@@ -292,7 +303,7 @@ class ContextModelBase(nn.Module):
         means_0, means_1 = _split2(means)
         q00 = jnp.round((y_0 - means_0) * m0)
         q11 = jnp.round((y_1 - means_1) * m1)
-        return (q00 + q11).astype(jnp.int32)
+        return _sym16(q00 + q11)
 
     def encode_nonanchor_symbols(self, y, nm_0, nm_1):
         """Non-anchor-stream symbols from the spatial prior's means."""
@@ -301,7 +312,7 @@ class ContextModelBase(nn.Module):
         y_0, y_1 = _split2(y)
         q01 = jnp.round((y_0 - nm_0) * m1)
         q10 = jnp.round((y_1 - nm_1) * m0)
-        return (q01 + q10).astype(jnp.int32)
+        return _sym16(q01 + q10)
 
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()

@@ -138,6 +138,8 @@ class DCVC(nn.Module):
     m: int = 96
 
     def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype("float32")
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(out_channels=2,
                                               channels=self.ch_mv)
@@ -204,7 +206,8 @@ class DCVC(nn.Module):
         return self.frame_coder.decode_prior(z_sym, context_small)
 
     def encode_frame_symbols(self, y, means):
-        return jnp.round(y - means).astype(jnp.int32)
+        from .context import _sym16
+        return _sym16(y - means)
 
     def decode_reconstruct(self, y_sym, means, context):
         y_hat = y_sym.astype(means.dtype) + means

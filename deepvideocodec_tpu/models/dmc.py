@@ -35,6 +35,7 @@ from .layers import (
     SpyNet,
     UNet,
     AutoEncoder,
+    set_compute_dtype,
 )
 from .context import MotionContextModel, FrameContextModel
 
@@ -45,6 +46,10 @@ class DMCConfig:
     n: int = 64          # feature / hyper channels
     m: int = 96          # frame latent channels
     unet_width: int = 32  # recon UNet base width (32 = reference ladder)
+    # computation dtype for transform interiors ("float32"/"bfloat16");
+    # latents, flow, priors, entropy math and recon output stay f32 either
+    # way (layer-level pins) so the coded bitstream semantics are stable.
+    dtype: str = "float32"
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
@@ -107,7 +112,7 @@ class ContextualEncoder(nn.Module):
                      end_with_relu=True)(
             jnp.concatenate([f, context3], axis=-1))
         f = conv(n, 3, 2)(f)
-        return conv(self.m, 3, 2)(f)
+        return conv(self.m, 3, 2, dtype=jnp.float32)(f)  # latent: f32
 
 
 class ContextualDecoder(nn.Module):
@@ -145,11 +150,13 @@ class ReconGeneration(nn.Module):
 
     @nn.compact
     def __call__(self, res, ctx):
+        res = res.astype(ctx.dtype) if res.dtype != ctx.dtype else res
         f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
         f = UNet(self.channels, self.unet_width)(f)
         f = UNet(self.channels, self.unet_width)(f)
-        recon = conv(3)(f)
-        return f, recon
+        recon = conv(3, dtype=jnp.float32)(f)  # pixels: f32
+        # feature_ref lives in the DPB (fixed f32 pytree)
+        return f.astype(jnp.float32), recon
 
 
 class DMC(nn.Module):
@@ -159,6 +166,7 @@ class DMC(nn.Module):
 
     def setup(self):
         c = self.cfg
+        set_compute_dtype(getattr(c, "dtype", "float32"))
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(
             out_channels=2, channels=c.ch_mv)
@@ -184,11 +192,16 @@ class DMC(nn.Module):
         return self.feature_extractor(feature)
 
     def motion_compensation(self, mv, dpb, first_p: bool):
-        warpframe = flow_warp(dpb["x_ref"], mv)
         mv2 = bilinear_downsample_x2(mv) / 2.0
         mv3 = bilinear_downsample_x2(mv2) / 2.0
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb, first_p)
-        c1 = flow_warp(f1, mv)
+        # x_ref and f1 share the full-res flow: one fused gather instead of
+        # two (warp cost on TPU is per-index — fusing channels is free).
+        both = flow_warp(
+            jnp.concatenate([dpb["x_ref"].astype(f1.dtype), f1], axis=-1),
+            mv)
+        warpframe = both[..., :3]
+        c1 = both[..., 3:]
         c2 = flow_warp(f2, mv2)
         c3 = flow_warp(f3, mv3)
         c1, c2, c3 = self.context_fusion_net(c1, c2, c3)

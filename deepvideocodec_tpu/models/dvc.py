@@ -75,7 +75,8 @@ class _HyperCoder(nn.Module):
         return means, idx
 
     def encode_y_symbols(self, y, means):
-        return jnp.round(y - means).astype(jnp.int32)
+        from .context import _sym16
+        return _sym16(y - means)
 
     def dequant_y(self, y_sym, means):
         return y_sym.astype(means.dtype) + means
@@ -107,6 +108,8 @@ class DVC(nn.Module):
     unet_width: int = 32
 
     def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype("float32")
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(out_channels=2,
                                               channels=self.ch_mv)

@@ -40,9 +40,32 @@ codec_kernel_init = nn.initializers.variance_scaling(
     2.0, "fan_avg", "normal")
 codec_bias_init = nn.initializers.constant(0.01)
 
+# Codec-wide computation dtype for conv/dense interiors. Mixed precision,
+# TPU-style: bf16 doubles MXU throughput and halves activation HBM/gather
+# traffic; everything precision-critical stays f32 — latents at the
+# quantizer, flow fields, prior means/scales, entropy math, recon output —
+# via dtype=jnp.float32 pins at those boundary layers. Set per-model from
+# its config in setup() (trace-time, so each jitted program bakes the
+# right dtype).
+_COMPUTE_DTYPE = jnp.float32
 
-def conv(features: int, kernel: int = 3, stride: int = 1) -> nn.Conv:
-    """Conv with torch-style symmetric padding (pad = kernel // 2)."""
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.float32 if dtype is None else jnp.dtype(dtype)
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def conv(features: int, kernel: int = 3, stride: int = 1,
+         dtype=None) -> nn.Conv:
+    """Conv with torch-style symmetric padding (pad = kernel // 2).
+
+    `dtype=None` computes in the codec-wide compute dtype;
+    pass jnp.float32 to pin a precision-critical layer.
+    """
     p = kernel // 2
     return nn.Conv(
         features,
@@ -51,6 +74,7 @@ def conv(features: int, kernel: int = 3, stride: int = 1) -> nn.Conv:
         padding=((p, p), (p, p)),
         kernel_init=codec_kernel_init,
         bias_init=codec_bias_init,
+        dtype=_COMPUTE_DTYPE if dtype is None else dtype,
     )
 
 
@@ -64,10 +88,12 @@ class SubpelConv(nn.Module):
     features: int
     r: int = 2
     kernel: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.features * self.r * self.r, self.kernel)(x)
+        x = conv(self.features * self.r * self.r, self.kernel,
+                 dtype=self.dtype)(x)
         return depth_to_space(x, self.r)
 
 
@@ -161,9 +187,11 @@ class SELayer(nn.Module):
         c = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2))  # (B, C)
         y = nn.Dense(c // self.reduction, use_bias=False,
-                     kernel_init=codec_kernel_init)(y)
+                     kernel_init=codec_kernel_init,
+                     dtype=get_compute_dtype())(y)
         y = nn.relu(y)
-        y = nn.Dense(c, use_bias=False, kernel_init=codec_kernel_init)(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=codec_kernel_init,
+                     dtype=get_compute_dtype())(y)
         y = nn.sigmoid(y)
         return x * y[:, None, None, :]
 
@@ -221,7 +249,7 @@ class MEBasic(nn.Module):
     def __call__(self, x):
         for feats in (32, 64, 32, 16):
             x = nn.relu(conv(feats, 7)(x))
-        return conv(2, 7)(x)
+        return conv(2, 7, dtype=jnp.float32)(x)  # flow field stays f32
 
 
 class SpyNet(nn.Module):
@@ -273,7 +301,9 @@ class AutoEncoder(nn.Module):
             ResidualBlockWithStride(ch),
             ResidualBlockSimple(ch),
         ]
-        self.enc_final = conv(ch, 3, 2)
+        # latent reaches the quantizer: f32 (bf16 steps are ~0.25 at
+        # typical latent magnitudes — visible rate damage)
+        self.enc_final = conv(ch, 3, 2, dtype=jnp.float32)
         self.dec_blocks = [
             ResidualBlockSimple(ch),
             ResidualBlockUpsample(ch),
@@ -283,7 +313,8 @@ class AutoEncoder(nn.Module):
             ResidualBlockUpsample(ch),
             ResidualBlockSimple(ch),
         ]
-        self.dec_final = SubpelConv(self.out_channels, 2, kernel=1)
+        self.dec_final = SubpelConv(self.out_channels, 2, kernel=1,
+                                    dtype=jnp.float32)
 
     def encode(self, x):
         for blk in self.enc_blocks:
@@ -310,7 +341,7 @@ class HyperEncoder(nn.Module):
         z = leaky_relu(conv(self.z_channels)(z))
         z = leaky_relu(conv(self.z_channels, 3, 2)(z))
         z = leaky_relu(conv(self.z_channels)(z))
-        return conv(self.z_channels, 3, 2)(z)
+        return conv(self.z_channels, 3, 2, dtype=jnp.float32)(z)
 
 
 class HyperDecoder(nn.Module):
