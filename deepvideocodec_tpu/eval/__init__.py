@@ -4,9 +4,12 @@ from .bitstream import write_body, read_body, write_uints, read_uints
 from .codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
 from .evaluator import evaluate_video, pad_to_multiple, crop_to
 from .pipeline import code_sequence_pipelined
+from .bdrate import bd_rate, bd_psnr
 
 __all__ = [
     "code_sequence_pipelined",
+    "bd_rate",
+    "bd_psnr",
     "write_body",
     "read_body",
     "write_uints",

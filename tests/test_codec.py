@@ -130,3 +130,24 @@ class TestGopEvaluation:
         import json
         results = json.loads((tmp_path / "q0.json").read_text())
         assert results[0]["video"] == "synthetic"
+
+
+class TestPipelinedCoding:
+    def test_pipelined_matches_serial_bitstream(
+            self, dmc_codec, intra_codec, tmp_path):
+        """The overlapped schedule must be a pure reordering: identical
+        bytes and identical decoded quality vs the serial evaluator."""
+        from deepvideocodec_tpu.eval.pipeline import code_sequence_pipelined
+
+        frames = _synthetic_frames(6)
+        serial = evaluate_video(
+            dmc_codec, intra_codec, frames,
+            bits_path=tmp_path / "serial.bits", gop=4)
+        piped = code_sequence_pipelined(
+            dmc_codec, intra_codec, frames,
+            bits_path=tmp_path / "piped.bits", gop=4)
+        sb = (tmp_path / "serial.bits").read_bytes()
+        pb = (tmp_path / "piped.bits").read_bytes()
+        assert sb == pb
+        assert abs(serial["psnr"] - piped["psnr"]) < 1e-9
+        assert serial["frames"] == piped["frames"] == 6

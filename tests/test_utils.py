@@ -59,3 +59,31 @@ class TestCheckpoint:
             np.asarray(restored["params"]["w"]), np.arange(4.0))
         assert int(restored["step"]) == 7
         assert (tmp_path / "best.json").is_file()
+
+
+class TestBjontegaard:
+    def test_identical_curves_zero(self):
+        from deepvideocodec_tpu.eval.bdrate import bd_rate, bd_psnr
+
+        r = [0.1, 0.2, 0.4, 0.8]
+        p = [30.0, 33.0, 36.0, 39.0]
+        assert abs(bd_rate(r, p, r, p)) < 1e-9
+        assert abs(bd_psnr(r, p, r, p)) < 1e-9
+
+    def test_halved_rate_is_minus_fifty(self):
+        from deepvideocodec_tpu.eval.bdrate import bd_rate, bd_psnr
+
+        r = [0.1, 0.2, 0.4, 0.8]
+        p = [30.0, 33.0, 36.0, 39.0]
+        r_half = [x / 2 for x in r]
+        assert abs(bd_rate(r, p, r_half, p) - (-50.0)) < 1e-6
+        # and at equal rate, the test curve gains the dB of one doubling
+        gain = bd_psnr(r, p, r_half, p)
+        assert 2.9 < gain < 3.1
+
+    def test_non_overlapping_raises(self):
+        import pytest
+        from deepvideocodec_tpu.eval.bdrate import bd_rate
+
+        with pytest.raises(ValueError):
+            bd_rate([0.1, 0.2], [30, 31], [0.1, 0.2], [40, 41])
