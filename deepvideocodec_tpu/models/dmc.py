@@ -275,13 +275,35 @@ class DMC(nn.Module):
         dpb = empty_dpb(B, H, W, self.cfg, frames.dtype)
         dpb["x_ref"] = frames[:, 0]
 
+        # Rematerialize each P-frame step during training: the unrolled
+        # recurrence otherwise keeps every frame's full-res activations
+        # alive for the backward pass, which exceeds a single chip's HBM
+        # at the reference's operating point (batch 8, 256^2, 3 frames on
+        # 16 GB v5e). checkpoint trades one extra forward per frame for
+        # O(1)-in-frames activation memory. Eval paths are untouched (the
+        # codec's bit-exact stage programs never go through here).
+        if training:
+            remat_inter = nn.remat(
+                lambda mdl, x, d, fp, mp, fpre, tr: mdl.forward_inter(
+                    x, d, first_p=fp, motion_pretrain=mp,
+                    frame_pretrain=fpre, training=tr),
+                static_argnums=(3, 4, 5, 6),
+            )
+
+            def step_fn(x, d, fp, mp, fpre, tr):
+                return remat_inter(self, x, d, fp, mp, fpre, tr)
+        else:
+            def step_fn(x, d, fp, mp, fpre, tr):
+                return self.forward_inter(
+                    x, d, first_p=fp, motion_pretrain=mp,
+                    frame_pretrain=fpre, training=tr)
+
         recons, likelihoods = [], []
         for t in range(1, T):
             first_p = t == 1
-            x_rec, lk, new_dpb = self.forward_inter(
-                frames[:, t], dpb, first_p=first_p,
-                motion_pretrain=motion_pretrain,
-                frame_pretrain=frame_pretrain, training=training)
+            x_rec, lk, new_dpb = step_fn(
+                frames[:, t], dpb, first_p,
+                motion_pretrain, frame_pretrain, training)
             recons.append(x_rec)
             likelihoods.append(lk)
             if T >= 3 and not motion_pretrain:
