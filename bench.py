@@ -42,7 +42,8 @@ def main():
     from deepvideocodec_tpu.eval.evaluator import pad_to_multiple
 
     h, w = 1080, 1920
-    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    # long enough that tunnel/host noise averages out (~1 min timed)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
     # measured on v5e: f32 0.879 fps vs bf16 0.833 at 2 streams — the
     # device is warp-gather-bound (dtype-independent) and the bf16 casts
     # at the f32 pins eat the conv gain; see docs/PERFORMANCE.md

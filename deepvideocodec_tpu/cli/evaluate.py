@@ -45,7 +45,8 @@ def main(argv=None):
     from ..models import DMC, CheckerboardImageCodec, fast_init
     from ..eval.codec import DmcCodec, IntraCodec
     from ..eval.evaluator import evaluate_video, load_png_frames
-    from ..utils import setup_logger, restore_checkpoint, latest_step
+    from ..utils import (setup_logger, restore_checkpoint, latest_step,
+                         restore_params_export)
 
     # Validate inputs before model construction (init + CDF tables cost
     # minutes cold; a bad --frames-root should fail in milliseconds).
@@ -77,8 +78,16 @@ def main(argv=None):
     intra_model = CheckerboardImageCodec()
     intra_params = fast_init(intra_model, rng)
     if args.intra_checkpoint:
-        istep = latest_step(args.intra_checkpoint)
-        if istep is not None:
+        restored = restore_params_export(args.intra_checkpoint, intra_params)
+        if restored is not None:
+            intra_params = restored
+            logging.info("loaded intra params export")
+        else:
+            istep = latest_step(args.intra_checkpoint)
+            if istep is None:
+                raise FileNotFoundError(
+                    f"no intra export/checkpoints under "
+                    f"{args.intra_checkpoint}")
             intra_params = restore_checkpoint(
                 args.intra_checkpoint, istep, intra_params)
             logging.info("loaded intra ckpt step %d", istep)

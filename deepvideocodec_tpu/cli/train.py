@@ -119,11 +119,17 @@ def main(argv=None):
     if args.intra_checkpoint:
         intra_model = CheckerboardImageCodec()
         from ..models import fast_init
+        from ..utils import restore_params_export
         intra_params = fast_init(intra_model, rng)
-        istep = latest_step(args.intra_checkpoint)
-        if istep is not None:
-            intra_params = restore_checkpoint(
-                args.intra_checkpoint, istep, intra_params)
+        restored = restore_params_export(
+            args.intra_checkpoint, intra_params)
+        if restored is not None:
+            intra_params = restored
+        else:
+            istep = latest_step(args.intra_checkpoint)
+            if istep is not None:
+                intra_params = restore_checkpoint(
+                    args.intra_checkpoint, istep, intra_params)
 
     mesh = make_mesh()
     logging.info("devices: %s", jax.devices())

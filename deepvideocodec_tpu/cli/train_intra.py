@@ -1,0 +1,180 @@
+"""Intra (I-frame) image-codec training CLI.
+
+The reference delegates I-frames to a frozen *pretrained* CompressAI
+cheng2020_anchor (/root/reference/dmc/train.py:564-569, test.py:108-110).
+This framework has no external zoo, so the I-frame codec is trained here:
+the checkerboard (cheng-class) codec by default, or the factorized /
+hyperprior variants. The resulting checkpoint is what `cli.train`'s
+--intra-checkpoint and `cli.evaluate`'s --intra-checkpoint consume.
+
+    python -m deepvideocodec_tpu.cli.train_intra -d /data/images \
+        --model checkerboard --lambda 2048 --batch-size 16 -e 200
+
+Loss: lambda * MSE + bpp (same 255^2-scaled lambda convention as the
+video trainer) + the factorized bottleneck's quantile aux loss through
+the dual-Adam partition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train an intra image codec")
+    p.add_argument("-d", "--dataset", required=True,
+                   help="root with {train,test}/*.png")
+    p.add_argument("-m", "--model", default="checkerboard",
+                   choices=["checkerboard", "hyperprior", "factorized"])
+    p.add_argument("-e", "--epochs", type=int, default=100)
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--aux-learning-rate", type=float, default=1e-3)
+    p.add_argument("--lambda", dest="lmbda", type=float, default=2048.0)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--test-batch-size", type=int, default=16)
+    p.add_argument("--patch-size", type=int, nargs=2, default=(256, 256))
+    p.add_argument("-n", "--num-workers", type=int, default=4)
+    p.add_argument("--clip_max_norm", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="resume directory")
+    p.add_argument("--name", type=str, default="")
+    return p.parse_args(argv)
+
+
+def build_model(name: str):
+    from ..models import (
+        CheckerboardImageCodec, HyperpriorImageCodec, FactorizedImageCodec)
+
+    return {
+        "checkerboard": CheckerboardImageCodec,
+        "hyperprior": HyperpriorImageCodec,
+        "factorized": FactorizedImageCodec,
+    }[name]()
+
+
+def make_intra_train_step(model, tx, lmbda: float):
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, noise_rng):
+        out = model.apply(params, batch, training=True,
+                          rngs={"noise": noise_rng})
+        num_pixels = batch.shape[1] * batch.shape[2]
+        bpp = sum(
+            jnp.sum(jnp.log(lk.astype(jnp.float32))) / (-jnp.log(2.0))
+            for lk in out["likelihoods"].values()
+        ) / (batch.shape[0] * num_pixels)
+        mse = jnp.mean(jnp.square(
+            out["x_hat"].astype(jnp.float32) - batch.astype(jnp.float32)))
+        aux = model.apply(params, method=model.aux_loss)
+        loss = lmbda * mse + bpp
+        return loss + aux, {"loss": loss, "mse": mse, "bpp": bpp,
+                            "aux": aux}
+
+    @jax.jit
+    def step(state, batch, rng):
+        noise_rng = jax.random.fold_in(rng, state["step"])
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state["params"], batch, noise_rng)
+        import optax
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"])
+        return {
+            "step": state["step"] + 1,
+            "params": optax.apply_updates(state["params"], updates),
+            "opt_state": opt_state,
+        }, metrics
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(params, batch, training=False)
+        num_pixels = batch.shape[1] * batch.shape[2]
+        bpp = sum(
+            jnp.sum(jnp.log(lk.astype(jnp.float32))) / (-jnp.log(2.0))
+            for lk in out["likelihoods"].values()
+        ) / (batch.shape[0] * num_pixels)
+        mse = jnp.mean(jnp.square(out["x_hat"] - batch))
+        return {"loss": lmbda * mse + bpp, "mse": mse, "bpp": bpp}
+
+    return step, eval_step
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import ImageFolderDataset, Loader
+    from ..models import fast_init
+    from ..train.optimizers import make_optimizer
+    from ..utils import (setup_logger, AverageMeter, save_checkpoint,
+                         restore_checkpoint, latest_step,
+                         save_params_export)
+
+    base_dir = Path("checkpoints") / f"intra_{args.model}" / f"{args.lmbda}"
+    base_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(base_dir / f"train_{args.name}.log")
+
+    rng = jax.random.PRNGKey(args.seed)
+    train_ds = ImageFolderDataset(
+        args.dataset, "train", tuple(args.patch_size), random_crop=True,
+        seed=args.seed)
+    test_ds = ImageFolderDataset(
+        args.dataset, "test", tuple(args.patch_size), random_crop=False)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True,
+                          num_workers=args.num_workers, seed=args.seed)
+    test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
+                         num_workers=args.num_workers, drop_last=False)
+
+    model = build_model(args.model)
+    params = fast_init(model, rng)
+    tx = make_optimizer(args.learning_rate, args.aux_learning_rate,
+                        args.clip_max_norm)
+    state = {"step": jnp.zeros((), jnp.int32), "params": params,
+             "opt_state": tx.init(params)}
+
+    start_epoch = 0
+    if args.checkpoint:
+        s = latest_step(args.checkpoint)
+        if s is not None:
+            state = restore_checkpoint(args.checkpoint, s, state)
+            start_epoch = int(s) // max(len(train_loader), 1)
+            logging.info("resumed step %d (epoch %d)", s, start_epoch)
+
+    step_fn, eval_fn = make_intra_train_step(model, tx, args.lmbda)
+
+    best = float("inf")
+    for epoch in range(start_epoch, args.epochs):
+        for bi, batch in enumerate(train_loader):
+            state, m = step_fn(state, jnp.asarray(batch), rng)
+            if bi % 100 == 0:
+                logging.info(
+                    "epoch %d [%d/%d] loss=%.4f mse=%.6f bpp=%.4f aux=%.1f",
+                    epoch, bi + 1, len(train_loader), float(m["loss"]),
+                    float(m["mse"]), float(m["bpp"]), float(m["aux"]))
+        meters = {k: AverageMeter() for k in ("loss", "mse", "bpp")}
+        for batch in test_loader:
+            em = eval_fn(state["params"], jnp.asarray(batch))
+            for k in meters:
+                meters[k].update(float(em[k]), batch.shape[0])
+        test_loss = meters["loss"].avg
+        logging.info("epoch %d done | test loss=%.4f mse=%.6f bpp=%.4f",
+                     epoch, test_loss, meters["mse"].avg, meters["bpp"].avg)
+        step_no = int(state["step"])
+        is_best = test_loss < best
+        save_checkpoint(base_dir, step_no, state,
+                        metrics={"loss": test_loss, "epoch": epoch},
+                        is_best=is_best)
+        if is_best:
+            # what cli.evaluate / cli.train --intra-checkpoint consume
+            save_params_export(base_dir, state["params"])
+        best = min(best, test_loss)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,10 +25,15 @@ def ensure_built() -> str:
             or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
         ):
             cmd = [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-o", _LIB, _SRC,
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", "-o", _LIB, _SRC,
             ]
-            subprocess.run(cmd, check=True, capture_output=True)
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # -march=native unsupported on some toolchains; portable -O3
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True)
         return _LIB
 
 

@@ -31,24 +31,36 @@ struct RansSymbol {
 
 class Encoder {
  public:
-  void put_symbol(uint32_t start, uint32_t freq) {
+  explicit Encoder(int64_t expected_syms) {
+    // rANS must emit in reverse symbol order; buffer (start, freq) pairs.
+    // Reserving up front keeps the hot loop allocation-free (the escape
+    // path adds bypass chunks, hence the slack).
+    syms_.reserve(static_cast<size_t>(expected_syms) + 64);
+  }
+
+  inline void put_symbol(uint32_t start, uint32_t freq) {
     syms_.push_back({static_cast<uint16_t>(start),
                      static_cast<uint16_t>(freq), false});
   }
-  void put_bypass(int32_t val) {
+  inline void put_bypass(int32_t val) {
     syms_.push_back({static_cast<uint16_t>(val), 0, true});
   }
 
-  // Encode buffered symbols in reverse; returns forward-readable bytes.
-  std::vector<uint8_t> flush() {
+  // Encode buffered symbols in reverse, writing bytes backward into the
+  // tail of [buf, buf+cap); returns the number of bytes (they end up
+  // forward-readable at buf[0..n) after the final memmove), or -1 if the
+  // buffer is too small.
+  int64_t flush_into(uint8_t* buf, int64_t cap) {
     uint32_t state = kRansByteL;
-    std::vector<uint8_t> out;  // bytes emitted in reverse order
+    uint8_t* end = buf + cap;
+    uint8_t* p = end;  // grows downward; reversed stream == forward bytes
     for (auto it = syms_.rbegin(); it != syms_.rend(); ++it) {
       if (it->bypass) {
         // Renormalize so the shift keeps state within [L, L<<8).
         uint32_t x_max = ((kRansByteL << 8) >> kBypassPrecision);
         while (state >= x_max) {
-          out.push_back(static_cast<uint8_t>(state & 0xff));
+          if (p == buf) return -1;
+          *--p = static_cast<uint8_t>(state & 0xff);
           state >>= 8;
         }
         state = (state << kBypassPrecision) | (it->start & kMaxBypassVal);
@@ -56,19 +68,22 @@ class Encoder {
         uint32_t freq = it->freq;
         uint32_t x_max = ((kRansByteL >> kPrecision) << 8) * freq;
         while (state >= x_max) {
-          out.push_back(static_cast<uint8_t>(state & 0xff));
+          if (p == buf) return -1;
+          *--p = static_cast<uint8_t>(state & 0xff);
           state >>= 8;
         }
         state = ((state / freq) << kPrecision) + (state % freq) + it->start;
       }
     }
-    // Flush final state (4 bytes, little-endian in decode order).
+    // Flush final state (4 bytes, big-endian at the stream head).
     for (int i = 0; i < 4; ++i) {
-      out.push_back(static_cast<uint8_t>(state & 0xff));
+      if (p == buf) return -1;
+      *--p = static_cast<uint8_t>(state & 0xff);
       state >>= 8;
     }
-    std::vector<uint8_t> fwd(out.rbegin(), out.rend());
-    return fwd;
+    int64_t n = end - p;
+    std::memmove(buf, p, static_cast<size_t>(n));
+    return n;
   }
 
  private:
@@ -133,7 +148,7 @@ int64_t dvc_rans_encode_with_indexes(
     const int32_t* cdf_lengths, const int32_t* offsets, uint8_t* out_buf,
     int64_t out_capacity) {
   (void)cdf_rows;
-  Encoder enc;
+  Encoder enc(n);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     const int32_t* cdf = cdfs + idx * cdf_stride;
@@ -172,10 +187,7 @@ int64_t dvc_rans_encode_with_indexes(
             (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal));
     }
   }
-  std::vector<uint8_t> bytes = enc.flush();
-  if (static_cast<int64_t>(bytes.size()) > out_capacity) return -1;
-  std::memcpy(out_buf, bytes.data(), bytes.size());
-  return static_cast<int64_t>(bytes.size());
+  return enc.flush_into(out_buf, out_capacity);
 }
 
 // Decode n symbols from buf; writes integer values (already offset-shifted

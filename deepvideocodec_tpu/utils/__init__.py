@@ -2,7 +2,8 @@
 
 from .metrics import psnr, msssim, AverageMeter
 from .logging import setup_logger
-from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
+                         save_params_export, restore_params_export)
 
 __all__ = [
     "psnr",
@@ -12,4 +13,6 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_step",
+    "save_params_export",
+    "restore_params_export",
 ]

@@ -54,3 +54,21 @@ def restore_checkpoint(directory, step: int, target: Any) -> Any:
     directory = Path(directory).absolute()
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(directory / f"step_{step:08d}", target)
+
+
+def save_params_export(directory, params: Any) -> None:
+    """Save a params-only export (what inference consumers restore —
+    no optimizer state, so the reader needs no training setup)."""
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(directory / "params_export", params, force=True)
+    ckpt.wait_until_finished()
+
+
+def restore_params_export(directory, target: Any) -> Optional[Any]:
+    """Restore a params-only export; None if the export doesn't exist."""
+    path = Path(directory).absolute() / "params_export"
+    if not path.is_dir():
+        return None
+    return ocp.StandardCheckpointer().restore(path, target)
