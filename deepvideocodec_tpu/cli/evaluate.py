@@ -21,6 +21,12 @@ from pathlib import Path
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a TPU video codec")
+    p.add_argument("-m", "--model", default="dmc",
+                   choices=["dmc", "dvc", "dcvc"],
+                   help="video codec family (reference -m flag)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap host coding with device compute "
+                        "(byte-identical bitstreams)")
     p.add_argument("--frames-root", required=True,
                    help="dir of sequence dirs, each holding *.png frames")
     p.add_argument("--checkpoint", type=str, default=None,
@@ -42,9 +48,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..models import DMC, CheckerboardImageCodec, fast_init
-    from ..eval.codec import DmcCodec, IntraCodec
+    from ..models import DMC, DVC, DCVC, CheckerboardImageCodec, fast_init
+    from ..eval.codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
     from ..eval.evaluator import evaluate_video, load_png_frames
+    from ..eval.pipeline import code_sequence_pipelined
     from ..utils import (setup_logger, restore_checkpoint, latest_step,
                          restore_params_export)
 
@@ -61,7 +68,12 @@ def main(argv=None):
     setup_logger(results_dir / "eval.log")
 
     rng = jax.random.PRNGKey(0)
-    model = DMC()
+    model_cls, codec_cls = {
+        "dmc": (DMC, DmcCodec),
+        "dvc": (DVC, DvcCodec),
+        "dcvc": (DCVC, DcvcCodec),
+    }[args.model]
+    model = model_cls()
     ex = jnp.zeros((1, 3, 64, 64, 3))
     params = fast_init(model, rng)
     if args.checkpoint:
@@ -92,22 +104,33 @@ def main(argv=None):
                 args.intra_checkpoint, istep, intra_params)
             logging.info("loaded intra ckpt step %d", istep)
 
-    inter_codec = DmcCodec(model, params)
+    inter_codec = codec_cls(model, params)
     intra_codec = IntraCodec(intra_model, intra_params)
 
     for q in args.qualities:
         agg_bpp, agg_psnr = [], []
         for seq in seq_dirs:
-            tag = (f"{args.dataset_name}-q{q}-gop{args.gop}"
+            tag = (f"{args.dataset_name}-{args.model}-q{q}-gop{args.gop}"
                    f"-num{args.frames}")
-            stats = evaluate_video(
-                inter_codec, intra_codec,
-                load_png_frames(seq, args.frames),
-                bits_path=Path(args.cache_dir) / tag / f"{seq.stem}.bits",
-                gop=args.gop,
-                results_path=results_dir / f"q{q}.json",
-                video_name=str(seq), quality=q,
-            )
+            bits_path = Path(args.cache_dir) / tag / f"{seq.stem}.bits"
+            if args.pipelined:
+                import time as _time
+                tic = _time.time()
+                stats = code_sequence_pipelined(
+                    inter_codec, intra_codec,
+                    load_png_frames(seq, args.frames),
+                    bits_path=bits_path, gop=args.gop)
+                stats.update(video=str(seq), quality=q,
+                             seconds=_time.time() - tic)
+            else:
+                stats = evaluate_video(
+                    inter_codec, intra_codec,
+                    load_png_frames(seq, args.frames),
+                    bits_path=bits_path,
+                    gop=args.gop,
+                    results_path=results_dir / f"q{q}.json",
+                    video_name=str(seq), quality=q,
+                )
             agg_bpp.append(stats["bpp"])
             agg_psnr.append(stats["psnr"])
             logging.info(

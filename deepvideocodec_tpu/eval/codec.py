@@ -274,7 +274,8 @@ class DvcCodec:
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
 
-    def encode_inter(self, x, dpb, first_p: bool = False):
+    def encode_device(self, x, dpb, first_p: bool = False):
+        """Device stages only; bytes production split off (pipelining)."""
         del first_p  # DVC has no latent refs; kept for driver symmetry
         p = self.params
         x_ref = dpb["x_ref"]
@@ -287,31 +288,30 @@ class DvcCodec:
         r_means, r_idx = self._dec_res_prior(p, z_res)
         y_res_sym = self._enc_res_sym(p, y_res, r_means)
         x_rec = self._dec_recon(p, y_res_sym, r_means, x_pred)
-
-        payload = {
-            "strings": {
-                "motion": [
-                    rans.encode_with_indexes(
-                        _np(y_mv_sym), _np(mv_idx), self.motion_coder.gauss),
-                    rans.encode_with_indexes(
-                        _np(z_mv), _channel_indexes(_np(z_mv).shape),
-                        self.motion_coder.z),
-                ],
-                "frame": [
-                    rans.encode_with_indexes(
-                        _np(y_res_sym), _np(r_idx),
-                        self.residual_coder.gauss),
-                    rans.encode_with_indexes(
-                        _np(z_res), _channel_indexes(_np(z_res).shape),
-                        self.residual_coder.z),
-                ],
-            },
-            "shape": {
-                "motion": tuple(_np(z_mv).shape[1:3]),
-                "frame": tuple(_np(z_res).shape[1:3]),
-            },
+        planes = {
+            "motion": {"q": y_mv_sym, "i": mv_idx, "z_sym": z_mv},
+            "frame": {"q": y_res_sym, "i": r_idx, "z_sym": z_res},
         }
-        return payload, {"x_ref": x_rec}
+        return planes, {"x_ref": x_rec}
+
+    def encode_bytes(self, planes):
+        payload = {"strings": {}, "shape": {}}
+        for key, coder in (("motion", self.motion_coder),
+                           ("frame", self.residual_coder)):
+            u = planes[key]
+            z_sym = _np(u["z_sym"])
+            payload["strings"][key] = [
+                rans.encode_with_indexes(_np(u["q"]), _np(u["i"]),
+                                         coder.gauss),
+                rans.encode_with_indexes(
+                    z_sym, _channel_indexes(z_sym.shape), coder.z),
+            ]
+            payload["shape"][key] = (z_sym.shape[1], z_sym.shape[2])
+        return payload
+
+    def encode_inter(self, x, dpb, first_p: bool = False):
+        planes, new_dpb = self.encode_device(x, dpb, first_p)
+        return self.encode_bytes(planes), new_dpb
 
     def decode_inter(self, strings, shapes, dpb, first_p: bool = False):
         del first_p
@@ -362,7 +362,8 @@ class DcvcCodec:
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
 
-    def encode_inter(self, x, dpb, first_p: bool = False):
+    def encode_device(self, x, dpb, first_p: bool = False):
+        """Device stages only; bytes production split off (pipelining)."""
         del first_p
         p = self.params
         x_ref = dpb["x_ref"]
@@ -375,30 +376,30 @@ class DcvcCodec:
         means, idx = self._dec_fr_prior(p, z, ctx_small)
         y_sym = self._enc_fr_sym(p, y, means)
         x_rec = self._dec_recon(p, y_sym, means, context)
-
-        payload = {
-            "strings": {
-                "motion": [
-                    rans.encode_with_indexes(
-                        _np(y_mv_sym), _np(mv_idx), self.motion_coder.gauss),
-                    rans.encode_with_indexes(
-                        _np(z_mv), _channel_indexes(_np(z_mv).shape),
-                        self.motion_coder.z),
-                ],
-                "frame": [
-                    rans.encode_with_indexes(
-                        _np(y_sym), _np(idx), self.frame_coder.gauss),
-                    rans.encode_with_indexes(
-                        _np(z), _channel_indexes(_np(z).shape),
-                        self.frame_coder.z),
-                ],
-            },
-            "shape": {
-                "motion": tuple(_np(z_mv).shape[1:3]),
-                "frame": tuple(_np(z).shape[1:3]),
-            },
+        planes = {
+            "motion": {"q": y_mv_sym, "i": mv_idx, "z_sym": z_mv},
+            "frame": {"q": y_sym, "i": idx, "z_sym": z},
         }
-        return payload, {"x_ref": x_rec}
+        return planes, {"x_ref": x_rec}
+
+    def encode_bytes(self, planes):
+        payload = {"strings": {}, "shape": {}}
+        for key, coder in (("motion", self.motion_coder),
+                           ("frame", self.frame_coder)):
+            u = planes[key]
+            z_sym = _np(u["z_sym"])
+            payload["strings"][key] = [
+                rans.encode_with_indexes(_np(u["q"]), _np(u["i"]),
+                                         coder.gauss),
+                rans.encode_with_indexes(
+                    z_sym, _channel_indexes(z_sym.shape), coder.z),
+            ]
+            payload["shape"][key] = (z_sym.shape[1], z_sym.shape[2])
+        return payload
+
+    def encode_inter(self, x, dpb, first_p: bool = False):
+        planes, new_dpb = self.encode_device(x, dpb, first_p)
+        return self.encode_bytes(planes), new_dpb
 
     def decode_inter(self, strings, shapes, dpb, first_p: bool = False):
         del first_p

@@ -83,6 +83,14 @@ class _DecodeWorker:
             raise self.error
         self.q.put(item)
 
+    def stop(self):
+        """Best-effort shutdown for error paths: unblock and join."""
+        try:
+            self.q.put_nowait(None)
+        except queue.Full:
+            pass
+        self.thread.join(timeout=30.0)
+
     def join(self):
         self.q.put(None)
         self.thread.join()
@@ -138,6 +146,11 @@ def code_sequence_pipelined(
                 first_p = False
             n += 1
         psnrs = worker.join()
+    except BaseException:
+        # unblock the decode thread before the interpreter starts tearing
+        # down (a parked daemon thread inside XLA aborts the process)
+        worker.stop()
+        raise
     finally:
         pool.shutdown(wait=True)
         if f is not None:

@@ -2,6 +2,8 @@
 
 from .mesh import (
     make_mesh,
+    init_multihost,
+    local_batch_slice,
     shard_batch,
     replicate,
     make_parallel_train_step,
@@ -10,6 +12,8 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "init_multihost",
+    "local_batch_slice",
     "shard_batch",
     "replicate",
     "make_parallel_train_step",

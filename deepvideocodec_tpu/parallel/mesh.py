@@ -32,10 +32,36 @@ DATA_AXIS = "data"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over the given (or all) devices."""
+    """1-D data-parallel mesh over the given (or all) devices.
+
+    Multi-host (pod-scale): call `init_multihost()` first; jax.devices()
+    then spans every host's chips, the mesh covers the pod, and the
+    gradient psum rides ICI within a slice / DCN across slices — the
+    batch-parallel layout needs no per-topology changes (no attention,
+    no TP/PP: SURVEY.md section 2.8).
+    """
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def init_multihost(**kwargs) -> None:
+    """Initialize the JAX distributed runtime for multi-host training.
+
+    Call once per process before any jax op (TPU pods: no arguments —
+    coordinator/process ids come from the TPU environment; elsewhere pass
+    coordinator_address/num_processes/process_id). Single-process callers
+    can skip this entirely.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-indexed batch: with per-host data
+    loading, each process feeds only its shard of the global batch."""
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
 
 
 def shard_batch(mesh: Mesh) -> NamedSharding:
