@@ -114,14 +114,12 @@ def main(argv=None):
                    f"-num{args.frames}")
             bits_path = Path(args.cache_dir) / tag / f"{seq.stem}.bits"
             if args.pipelined:
-                import time as _time
-                tic = _time.time()
                 stats = code_sequence_pipelined(
                     inter_codec, intra_codec,
                     load_png_frames(seq, args.frames),
-                    bits_path=bits_path, gop=args.gop)
-                stats.update(video=str(seq), quality=q,
-                             seconds=_time.time() - tic)
+                    bits_path=bits_path, gop=args.gop,
+                    results_path=results_dir / f"q{q}.json",
+                    video_name=str(seq), quality=q)
             else:
                 stats = evaluate_video(
                     inter_codec, intra_codec,

@@ -101,6 +101,17 @@ def load_png_frames(frame_dir, num_frames: Optional[int] = None):
         yield img[None]
 
 
+def append_result(results_path, stats: Dict) -> None:
+    """Append one sequence record to the per-quality results JSON list."""
+    results_path = Path(results_path)
+    results_path.parent.mkdir(parents=True, exist_ok=True)
+    existing: List = []
+    if results_path.is_file():
+        existing = json.loads(results_path.read_text())
+    existing.append(stats)
+    results_path.write_text(json.dumps(existing, indent=2))
+
+
 def evaluate_video(
     inter_codec: DmcCodec,
     intra_codec: IntraCodec,
@@ -162,11 +173,5 @@ def evaluate_video(
     }
 
     if results_path is not None:
-        results_path = Path(results_path)
-        results_path.parent.mkdir(parents=True, exist_ok=True)
-        existing: List = []
-        if results_path.is_file():
-            existing = json.loads(results_path.read_text())
-        existing.append(stats)
-        results_path.write_text(json.dumps(existing, indent=2))
+        append_result(results_path, stats)
     return stats

@@ -105,13 +105,24 @@ def code_sequence_pipelined(
     frames: Iterable[np.ndarray],   # (1, H, W, 3) float arrays
     bits_path=None,
     gop: int = 32,
+    results_path=None,
+    video_name: str = "",
+    quality: int = 0,
 ) -> Dict[str, float]:
     """Encode+decode a sequence with host-coding/device-compute overlap.
 
     Bitstream and reconstructions are identical to the serial
-    eval/evaluator.py loop; only the schedule differs. Returns
-    {'psnr', 'bpp'(if bits_path), 'frames'}.
+    eval/evaluator.py loop; only the schedule differs. Returns the same
+    record evaluate_video produces ({video, quality, bpp, psnr, frames,
+    seconds}; bpp only with a bits_path), and appends it to
+    `results_path` (JSON list) when given — which therefore requires a
+    bits_path so every record carries bpp.
     """
+    import time
+
+    if results_path is not None and bits_path is None:
+        raise ValueError("results_path requires bits_path (records need bpp)")
+    tic = time.time()
     f = None
     if bits_path is not None:
         bits_path = Path(bits_path)
@@ -156,7 +167,13 @@ def code_sequence_pipelined(
         if f is not None:
             f.close()
 
-    stats = {"psnr": float(np.mean(psnrs)), "frames": n}
+    stats = {"video": str(video_name), "quality": quality,
+             "psnr": float(np.mean(psnrs)), "frames": n,
+             "seconds": time.time() - tic}
     if bits_path is not None:
         stats["bpp"] = bits_path.stat().st_size * 8.0 / (h * w * n)
+    if results_path is not None:
+        from .evaluator import append_result
+
+        append_result(results_path, stats)
     return stats

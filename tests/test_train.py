@@ -169,3 +169,29 @@ class TestTrainStep:
         q1 = np.asarray(get_quantiles(new_state.params))
         # aux loss is nonzero at init -> quantiles must move
         assert not np.allclose(q0, q1)
+
+
+class TestIntraTraining:
+    def test_intra_train_step_updates_and_is_finite(self):
+        """The intra trainer's step (cli.train_intra) on a tiny codec."""
+        import jax
+        from deepvideocodec_tpu.cli.train_intra import make_intra_train_step
+        from deepvideocodec_tpu.models import FactorizedImageCodec, fast_init
+        from deepvideocodec_tpu.train.optimizers import make_optimizer
+
+        model = FactorizedImageCodec(n=8, m=12)
+        params = fast_init(model, KEY)
+        tx = make_optimizer(1e-3)
+        state = {"step": jnp.zeros((), jnp.int32), "params": params,
+                 "opt_state": tx.init(params)}
+        step_fn, eval_fn = make_intra_train_step(model, tx, lmbda=10.0)
+        batch = jax.random.uniform(KEY, (2, 64, 64, 3))
+        state, m = step_fn(state, batch, KEY)
+        assert np.isfinite(float(m["loss"]))
+        assert int(state["step"]) == 1
+        em = eval_fn(state["params"], batch)
+        assert np.isfinite(float(em["loss"]))
+        # params moved
+        before = jax.tree_util.tree_leaves(params)[0]
+        after = jax.tree_util.tree_leaves(state["params"])[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
