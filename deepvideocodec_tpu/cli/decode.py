@@ -1,0 +1,128 @@
+"""Standalone decoder CLI — reconstruct frames from a .bits container.
+
+The receiver-side tool the reference lacks (its test.py only decodes
+inline from in-memory strings, /root/reference/dmc/test.py:165,187): given
+a bitstream file written by `cli.evaluate` and the model parameters, this
+decodes every frame using nothing but the bytes, writes PNGs, and (when
+--orig is given) reports the true decode PSNR.
+
+    python -m deepvideocodec_tpu.cli.decode \
+        --bits cache/uvg-dmc-q6-gop32-num96/Beauty.bits \
+        --checkpoint ckpts/dmc/2048.0 --intra-checkpoint ckpts/intra/q6 \
+        --gop 32 --size 1080 1920 --out decoded/Beauty
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Decode a .bits video bitstream")
+    p.add_argument("-m", "--model", default="dmc",
+                   choices=["dmc", "dvc", "dcvc"])
+    p.add_argument("--bits", required=True, help=".bits container file")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="inter-codec checkpoint dir (random init if absent)")
+    p.add_argument("--intra-checkpoint", type=str, default=None)
+    p.add_argument("-g", "--gop", type=int, default=32)
+    p.add_argument("--size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="original (unpadded) frame extent; the container "
+                        "stores only latent shapes, like the reference's")
+    p.add_argument("--out", type=str, default=None,
+                   help="directory for decoded f%%05d.png frames")
+    p.add_argument("--orig", type=str, default=None,
+                   help="dir of original *.png frames to PSNR against")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import DMC, DVC, DCVC, CheckerboardImageCodec, fast_init
+    from ..eval.codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
+    from ..eval.evaluator import decode_video, load_png_frames, psnr
+    from ..utils import (setup_logger, restore_checkpoint, latest_step,
+                         restore_params_export)
+
+    bits_path = Path(args.bits)
+    if not bits_path.is_file():
+        raise FileNotFoundError(bits_path)
+    setup_logger(None)
+
+    rng = jax.random.PRNGKey(0)
+    model_cls, codec_cls = {
+        "dmc": (DMC, DmcCodec),
+        "dvc": (DVC, DvcCodec),
+        "dcvc": (DCVC, DcvcCodec),
+    }[args.model]
+    model = model_cls()
+    params = fast_init(model, rng)
+    if args.checkpoint:
+        step = latest_step(args.checkpoint)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {args.checkpoint}")
+        from ..train import create_train_state
+        ex = jnp.zeros((1, 3, 64, 64, 3))
+        state = create_train_state(model, rng, ex)
+        state = restore_checkpoint(args.checkpoint, step, state)
+        params = state.params
+        logging.info("loaded inter ckpt step %d", step)
+
+    intra_model = CheckerboardImageCodec()
+    intra_params = fast_init(intra_model, rng)
+    if args.intra_checkpoint:
+        restored = restore_params_export(args.intra_checkpoint, intra_params)
+        if restored is not None:
+            intra_params = restored
+        else:
+            istep = latest_step(args.intra_checkpoint)
+            if istep is None:
+                raise FileNotFoundError(
+                    f"no intra export/checkpoints under "
+                    f"{args.intra_checkpoint}")
+            intra_params = restore_checkpoint(
+                args.intra_checkpoint, istep, intra_params)
+
+    inter_codec = codec_cls(model, params)
+    intra_codec = IntraCodec(intra_model, intra_params)
+
+    out_dir = Path(args.out) if args.out else None
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    originals = load_png_frames(args.orig) if args.orig else None
+
+    size = tuple(args.size) if args.size else None
+    psnrs = []
+    n = 0
+    for fi, rec in enumerate(decode_video(
+            inter_codec, intra_codec, bits_path, gop=args.gop, size=size)):
+        if out_dir:
+            from PIL import Image
+            img = (np.clip(rec, 0, 1) * 255.0).round().astype(np.uint8)
+            Image.fromarray(img).save(out_dir / f"f{fi:05d}.png")
+        if originals is not None:
+            try:
+                orig = next(originals)[0]
+            except StopIteration:
+                originals = None
+            else:
+                if orig.shape == rec.shape:
+                    psnrs.append(psnr(orig, rec))
+        n += 1
+    logging.info("decoded %d frames from %s", n, bits_path)
+    if psnrs:
+        logging.info("decode PSNR vs originals: %.3f dB over %d frames",
+                     float(np.mean(psnrs)), len(psnrs))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

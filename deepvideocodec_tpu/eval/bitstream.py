@@ -36,6 +36,30 @@ def write_body(
     return count
 
 
+def try_read_body(
+    fd: BinaryIO,
+) -> Tuple[Tuple[int, int], List[bytes]] | None:
+    """Like read_body, but returns None at a clean end-of-file.
+
+    A partial header (some but not 12 bytes) still raises EOFError — that
+    is a truncated file, not a frame boundary.
+    """
+    header = fd.read(12)
+    if not header:
+        return None
+    if len(header) != 12:
+        raise EOFError("truncated bitstream")
+    h, w, n = struct.unpack(">3I", header)
+    strings = []
+    for _ in range(n):
+        (length,) = read_uints(fd, 1)
+        data = fd.read(length)
+        if len(data) != length:
+            raise EOFError("truncated bitstream")
+        strings.append(data)
+    return (h, w), strings
+
+
 def read_body(fd: BinaryIO) -> Tuple[Tuple[int, int], List[bytes]]:
     h, w, n = read_uints(fd, 3)
     strings = []

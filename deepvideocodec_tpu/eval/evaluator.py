@@ -175,3 +175,47 @@ def evaluate_video(
     if results_path is not None:
         append_result(results_path, stats)
     return stats
+
+
+def decode_video(
+    inter_codec: DmcCodec,
+    intra_codec: IntraCodec,
+    bits_path,
+    gop: int = 32,
+    size=None,
+):
+    """Decode a .bits container back to frames — bitstream + params only.
+
+    The standalone-receiver path the reference never ships (its test.py
+    decodes inline from in-memory strings, /root/reference/dmc/test.py:
+    165,187): reads the container until clean EOF, threading the DPB
+    through each GOP. Frame count is implied by the stream (an I unit
+    every `gop` frames, two units per P frame). Yields (H, W, 3) float
+    arrays in [0, 1], cropped to `size` when the original extent is given
+    (the container, like the reference's, stores only latent shapes).
+    """
+    from .bitstream import try_read_body
+
+    with Path(bits_path).open("rb") as f:
+        fi = 0
+        dpb = None
+        first_p = True
+        while True:
+            unit = try_read_body(f)
+            if unit is None:
+                return
+            shape, strings = unit
+            if fi % gop == 0:
+                rec_pad = intra_codec.decompress(strings, shape)
+                dpb = inter_codec.init_dpb(rec_pad)
+                first_p = True
+            else:
+                f_shape, f_strings = read_body(f)
+                rec_pad, dpb = inter_codec.decode_inter(
+                    {"motion": strings, "frame": f_strings},
+                    {"motion": shape, "frame": f_shape},
+                    dpb, first_p=first_p)
+                first_p = False
+            rec = np.clip(np.asarray(rec_pad)[0], 0.0, 1.0)
+            yield crop_to(rec[None], size)[0] if size is not None else rec
+            fi += 1

@@ -132,6 +132,42 @@ class TestGopEvaluation:
         assert results[0]["video"] == "synthetic"
 
 
+class TestStandaloneDecode:
+    def test_decode_video_matches_inline_recon(self, dmc_codec, intra_codec,
+                                               tmp_path):
+        """decode_video must rebuild, from bytes alone, exactly the frames
+        the evaluator's inline decode produced (true receiver parity)."""
+        from deepvideocodec_tpu.eval.evaluator import decode_video
+
+        frames = _synthetic_frames(6)
+        evaluate_video(
+            dmc_codec, intra_codec, frames,
+            bits_path=tmp_path / "seq.bits", gop=4)
+
+        decoded = list(decode_video(
+            dmc_codec, intra_codec, tmp_path / "seq.bits", gop=4))
+        assert len(decoded) == 6
+
+        # replay the inline decode to get the expected reconstructions
+        dpb = None
+        for fi, (x, rec) in enumerate(zip(frames, decoded)):
+            if fi % 4 == 0:
+                out = intra_codec.compress(jnp.asarray(x))
+                rec_pad = intra_codec.decompress(out["strings"], out["shape"])
+                dpb = dmc_codec.init_dpb(rec_pad)
+                first_p = True
+            else:
+                payload, _ = dmc_codec.encode_inter(
+                    jnp.asarray(x), dpb, first_p=first_p)
+                rec_pad, dpb = dmc_codec.decode_inter(
+                    payload["strings"], payload["shape"], dpb,
+                    first_p=first_p)
+                first_p = False
+            expect = np.clip(np.asarray(rec_pad)[0], 0.0, 1.0)
+            np.testing.assert_array_equal(rec, expect,
+                                          err_msg=f"frame {fi} drifted")
+
+
 class TestPipelinedCoding:
     def test_pipelined_matches_serial_bitstream(
             self, dmc_codec, intra_codec, tmp_path):

@@ -80,8 +80,34 @@ class TestFlowWarp:
         out = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
         np.testing.assert_allclose(out, img, rtol=1e-6, atol=1e-6)
 
-    def test_gradients_match_torch(self, rng):
-        B, H, W, C = 1, 6, 7, 2
+    def test_xpaired_corners_bit_exact_vs_4tap(self, rng):
+        """The x-paired fast path (even W) must equal the 4-tap form bit
+        for bit — the codec relies on one warp everywhere."""
+        from deepvideocodec_tpu.ops import warp as warp_mod
+
+        B, H, W, C = 2, 9, 12, 5
+        img = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        # Flows that exercise interior, exact-integer hits, and border clamp.
+        flow = jnp.asarray(
+            (rng.standard_normal((B, H, W, 2)) * 6).astype(np.float32))
+        flow = flow.at[:, 0].set(100.0).at[:, 1].set(jnp.floor(flow[:, 1]))
+
+        base_y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+        base_x = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
+        sx = jnp.clip(base_x[None] + flow[..., 0], 0.0, W - 1.0)
+        sy = jnp.clip(base_y[None] + flow[..., 1], 0.0, H - 1.0)
+        x0i = jnp.floor(sx).astype(jnp.int32)
+        y0i = jnp.floor(sy).astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+
+        fast = warp_mod._corners_xpaired(img, y0i, y1i, x0i)
+        slow = warp_mod._corners_4tap(img, y0i, y1i, x0i)
+        for f, s in zip(fast, slow):
+            assert np.array_equal(np.asarray(f), np.asarray(s))
+
+    @pytest.mark.parametrize("W", [7, 10])  # odd = 4-tap path, even = x-paired
+    def test_gradients_match_torch(self, rng, W):
+        B, H, C = 1, 6, 2
         img = rng.standard_normal((B, H, W, C)).astype(np.float32)
         flow = (rng.standard_normal((B, H, W, 2)) * 1.5).astype(np.float32)
 
