@@ -44,10 +44,12 @@ def main():
     h, w = 1080, 1920
     # long enough that tunnel/host noise averages out (~1 min timed)
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    # measured on v5e: f32 0.879 fps vs bf16 0.833 at 2 streams — the
-    # device is warp-gather-bound (dtype-independent) and the bf16 casts
-    # at the f32 pins eat the conv gain; see docs/PERFORMANCE.md
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # measured on v5e at 2 streams: bf16 0.882 fps vs f32 0.793 — since
+    # the x-paired warp cut the gather cost, conv time dominates and the
+    # bf16 MXU gain outweighs the casts at the f32 pins (pre-pairing it
+    # was the other way around); see docs/PERFORMANCE.md. The codec is
+    # bit-exact encoder/decoder in either mode (entropy math stays f32).
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     key = jax.random.PRNGKey(0)
     model = DMC(cfg=DMCConfig(dtype=dtype))
