@@ -91,6 +91,21 @@ def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "2"))
     err = []
 
+    # Frame uploads ride a prefetch thread (depth 2): the 6 MB/frame host->
+    # device transfer overlaps the previous frame's device work instead of
+    # stalling the dispatch loop (upload bandwidth is the scarcest link
+    # resource in this environment — docs/PERFORMANCE.md).
+    upq: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def uploader():
+        try:
+            for i in range(n_frames):
+                x = to_f32(jnp.asarray(frames_u8[2 + i % n_frames]))
+                upq.put(x)
+        except BaseException as e:  # pragma: no cover
+            err.append(e)
+            upq.put(None)
+
     class Stream:
         def __init__(self, dpb):
             self.enc_dpb = dpb
@@ -112,14 +127,17 @@ def main():
             except BaseException as e:  # pragma: no cover
                 err.append(e)
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=max(2, n_streams))
     streams = [Stream(dpb2) for _ in range(n_streams)]
 
     t0 = time.perf_counter()
+    threading.Thread(target=uploader, daemon=True).start()
     for s in streams:
         s.thread.start()
     for i in range(n_frames):
-        x = to_f32(jnp.asarray(frames_u8[2 + i % n_frames]))
+        x = upq.get()
+        if x is None:
+            break
         for s in streams:
             planes, s.enc_dpb = codec.encode_device(
                 x, s.enc_dpb, first_p=False)

@@ -31,11 +31,16 @@ from ..entropy.cdf import (
 from ..entropy import rans
 
 
+@functools.lru_cache(maxsize=64)
 def _channel_indexes(shape: Tuple[int, ...]) -> np.ndarray:
-    """Per-channel CDF-row indexes for a factorized (B, H, W, C) latent."""
+    """Per-channel CDF-row indexes for a factorized (B, H, W, C) latent.
+
+    Cached per shape: the same index plane is re-materialized every frame
+    of a GOP on the 1-core host otherwise.
+    """
     b, h, w, c = shape
-    return np.broadcast_to(
-        np.arange(c, dtype=np.int32), (b, h, w, c)).copy()
+    return np.ascontiguousarray(
+        np.broadcast_to(np.arange(c, dtype=np.int32), (b, h, w, c)))
 
 
 def _np(x) -> np.ndarray:
@@ -47,6 +52,72 @@ def _sym16_np(x) -> np.ndarray:
     planes the encoder's programs were traced with; valid streams only ever
     carry encoder-clamped int16-range symbols)."""
     return np.clip(np.asarray(x), -32767, 32767).astype(np.int16)
+
+
+def _sym8_np(x) -> np.ndarray:
+    """Bitstream-decoded z symbols as int8 for upload (the encoder clamps
+    z symbols to +-127 on device — models/context.py:_sym8z — so decoded
+    streams are int8-ranged by construction)."""
+    return np.clip(np.asarray(x), -127, 127).astype(np.int8)
+
+
+# -- packed plane transport ---------------------------------------------------
+# The symbol/index planes of one frame are produced by several device
+# programs; fetching them one by one costs one tunnel round trip each (the
+# dominant cost of the encode loop in this environment — docs/PERFORMANCE.md).
+# A tiny extra device program bitcasts every plane to bytes and concatenates
+# them, so the host coder needs exactly ONE fetch per frame.
+
+def _plane_items(planes):
+    """Deterministic (unit, field, array) iteration for pack/unpack."""
+    for key in sorted(planes):
+        if key == "packed":
+            continue
+        unit = planes[key]
+        for f in sorted(unit):
+            yield key, f, unit[f]
+
+
+def _pack_planes_device(planes):
+    """Traced: all planes -> one flat uint8 buffer (little-endian bytes)."""
+    parts = []
+    for _, _, a in _plane_items(planes):
+        if a.dtype.itemsize > 1:
+            a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        elif a.dtype != jnp.uint8:
+            a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def _unpack_planes_host(buf: np.ndarray, planes) -> Dict[str, Dict[str, np.ndarray]]:
+    """Inverse of _pack_planes_device using the device arrays' metadata."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    off = 0
+    for key, f, a in _plane_items(planes):
+        dt = np.dtype(str(a.dtype))
+        nb = int(np.prod(a.shape)) * dt.itemsize
+        out.setdefault(key, {})[f] = (
+            buf[off:off + nb].view(dt).reshape(a.shape))
+        off += nb
+    return out
+
+
+def _host_planes(planes) -> Dict[str, Dict[str, np.ndarray]]:
+    """Fetch all planes to host: one packed fetch when available."""
+    if "packed" in planes:
+        return _unpack_planes_host(_np(planes["packed"]), planes)
+    return {
+        key: {f: _np(a) for _, f, a in items}
+        for key, items in _group_items(planes)
+    }
+
+
+def _group_items(planes):
+    by_key: Dict[str, list] = {}
+    for key, f, a in _plane_items(planes):
+        by_key.setdefault(key, []).append((key, f, a))
+    return by_key.items()
 
 
 class _CodedLatent:
@@ -121,6 +192,8 @@ class DmcCodec:
         self._enc_frame = jax.jit(meth("encode_frame"))
         self._enc_fr_anchor = jax.jit(meth("encode_frame_anchors"))
         self._enc_fr_nonanchor = jax.jit(meth("encode_frame_nonanchors"))
+        # byte-packer: all symbol/index planes -> one buffer -> one fetch
+        self._pack = jax.jit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         """Fresh decoded-picture buffer seeded with an I-frame recon."""
@@ -178,20 +251,24 @@ class DmcCodec:
             "frame": {"q0": fq0, "i0": fidx_r0, "q1": fq1, "i1": fidx_r1,
                       "z_sym": z_sym_f},
         }
+        planes["packed"] = self._pack(planes)
         return planes, new_dpb
 
     def encode_bytes(self, planes):
-        """Host rANS: symbol/index planes -> bitstream payload dict."""
+        """Host rANS: symbol/index planes -> bitstream payload dict.
+
+        One packed device->host fetch for all planes (the per-plane fetch
+        round trips otherwise dominate the encode wall clock over a
+        remote-device link)."""
+        host = _host_planes(planes)
         payload = {"strings": {}, "shape": {}}
         for key, coder in (("motion", self.motion_coder),
                            ("frame", self.frame_coder)):
-            u = planes[key]
-            z_sym = _np(u["z_sym"])
+            u = host[key]
+            z_sym = u["z_sym"]
             payload["strings"][key] = [
-                rans.encode_with_indexes(_np(u["q0"]), _np(u["i0"]),
-                                         coder.gauss),
-                rans.encode_with_indexes(_np(u["q1"]), _np(u["i1"]),
-                                         coder.gauss),
+                rans.encode_with_indexes(u["q0"], u["i0"], coder.gauss),
+                rans.encode_with_indexes(u["q1"], u["i1"], coder.gauss),
                 rans.encode_with_indexes(
                     z_sym, _channel_indexes(z_sym.shape), coder.z),
             ]
@@ -210,11 +287,23 @@ class DmcCodec:
         """Reconstruct from bytes only + DPB (mirror of encode)."""
         cfg = self.model.cfg
         p = self.params
-        # motion latent
-        z_sym = self.motion_coder.decode_z(
-            strings["motion"][2], shapes["motion"], cfg.ch_mv)
+        # Both hyper-latents decode host-side up front (they depend on
+        # nothing device-side) and ride ONE int8 upload; the frame half
+        # is sliced off on device when its stage runs.
+        z_sym = _sym8_np(self.motion_coder.decode_z(
+            strings["motion"][2], shapes["motion"], cfg.ch_mv))
+        z_sym_f_host = _sym8_np(self.frame_coder.decode_z(
+            strings["frame"][2], shapes["frame"], cfg.n))
+        if z_sym.shape[:3] == z_sym_f_host.shape[:3]:
+            z_all = jnp.asarray(
+                np.concatenate([z_sym, z_sym_f_host], axis=-1))
+            z_dev = z_all[..., :cfg.ch_mv]
+            z_f_dev = z_all[..., cfg.ch_mv:]
+        else:  # unequal spatial dims can't share a buffer
+            z_dev = jnp.asarray(z_sym)
+            z_f_dev = jnp.asarray(z_sym_f_host)
         means, scales, idx_r0 = self._dec_mv_prior(
-            p, jnp.asarray(z_sym), dpb, first_p=first_p)
+            p, z_dev, dpb, first_p=first_p)
         yq_r0 = self.motion_coder.decode_y(strings["motion"][0], idx_r0)
         yh00, yh11, nm0, nm1, idx_r1 = self._dec_mv_spatial(
             p, jnp.asarray(_sym16_np(yq_r0)), means, scales)
@@ -223,11 +312,9 @@ class DmcCodec:
             p, yh00, yh11, nm0, nm1, jnp.asarray(_sym16_np(yq_r1)), dpb,
             first_p=first_p)
 
-        # frame latent
-        z_sym_f = self.frame_coder.decode_z(
-            strings["frame"][2], shapes["frame"], cfg.n)
+        # frame latent (z already uploaded above)
         means_f, scales_f, fidx_r0 = self._dec_fr_prior(
-            p, jnp.asarray(z_sym_f), dpb, c3, first_p=first_p)
+            p, z_f_dev, dpb, c3, first_p=first_p)
         fq_r0 = self.frame_coder.decode_y(strings["frame"][0], fidx_r0)
         fh00, fh11, fm0, fm1, fidx_r1 = self._dec_fr_spatial(
             p, jnp.asarray(_sym16_np(fq_r0)), means_f, scales_f)
@@ -270,6 +357,7 @@ class DvcCodec:
         self._dec_res_prior = jax.jit(meth("decode_residual_prior"))
         self._enc_res_sym = jax.jit(meth("encode_residual_symbols"))
         self._dec_recon = jax.jit(meth("decode_reconstruct"))
+        self._pack = jax.jit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
@@ -292,17 +380,18 @@ class DvcCodec:
             "motion": {"q": y_mv_sym, "i": mv_idx, "z_sym": z_mv},
             "frame": {"q": y_res_sym, "i": r_idx, "z_sym": z_res},
         }
+        planes["packed"] = self._pack(planes)
         return planes, {"x_ref": x_rec}
 
     def encode_bytes(self, planes):
+        host = _host_planes(planes)
         payload = {"strings": {}, "shape": {}}
         for key, coder in (("motion", self.motion_coder),
                            ("frame", self.residual_coder)):
-            u = planes[key]
-            z_sym = _np(u["z_sym"])
+            u = host[key]
+            z_sym = u["z_sym"]
             payload["strings"][key] = [
-                rans.encode_with_indexes(_np(u["q"]), _np(u["i"]),
-                                         coder.gauss),
+                rans.encode_with_indexes(u["q"], u["i"], coder.gauss),
                 rans.encode_with_indexes(
                     z_sym, _channel_indexes(z_sym.shape), coder.z),
             ]
@@ -319,15 +408,17 @@ class DvcCodec:
         x_ref = dpb["x_ref"]
         z_mv = self.motion_coder.decode_z(
             strings["motion"][1], shapes["motion"], self.model.n)
-        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(z_mv))
+        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(_sym8_np(z_mv)))
         y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
-        x_pred = self._dec_pred(p, jnp.asarray(y_mv_sym), mv_means, x_ref)
+        x_pred = self._dec_pred(
+            p, jnp.asarray(_sym16_np(y_mv_sym)), mv_means, x_ref)
 
         z_res = self.residual_coder.decode_z(
             strings["frame"][1], shapes["frame"], self.model.n)
-        r_means, r_idx = self._dec_res_prior(p, jnp.asarray(z_res))
+        r_means, r_idx = self._dec_res_prior(p, jnp.asarray(_sym8_np(z_res)))
         y_res_sym = self.residual_coder.decode_y(strings["frame"][0], r_idx)
-        x_rec = self._dec_recon(p, jnp.asarray(y_res_sym), r_means, x_pred)
+        x_rec = self._dec_recon(
+            p, jnp.asarray(_sym16_np(y_res_sym)), r_means, x_pred)
         return x_rec, {"x_ref": x_rec}
 
 
@@ -358,6 +449,7 @@ class DcvcCodec:
         self._dec_fr_prior = jax.jit(meth("decode_frame_prior"))
         self._enc_fr_sym = jax.jit(meth("encode_frame_symbols"))
         self._dec_recon = jax.jit(meth("decode_reconstruct"))
+        self._pack = jax.jit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
@@ -380,17 +472,18 @@ class DcvcCodec:
             "motion": {"q": y_mv_sym, "i": mv_idx, "z_sym": z_mv},
             "frame": {"q": y_sym, "i": idx, "z_sym": z},
         }
+        planes["packed"] = self._pack(planes)
         return planes, {"x_ref": x_rec}
 
     def encode_bytes(self, planes):
+        host = _host_planes(planes)
         payload = {"strings": {}, "shape": {}}
         for key, coder in (("motion", self.motion_coder),
                            ("frame", self.frame_coder)):
-            u = planes[key]
-            z_sym = _np(u["z_sym"])
+            u = host[key]
+            z_sym = u["z_sym"]
             payload["strings"][key] = [
-                rans.encode_with_indexes(_np(u["q"]), _np(u["i"]),
-                                         coder.gauss),
+                rans.encode_with_indexes(u["q"], u["i"], coder.gauss),
                 rans.encode_with_indexes(
                     z_sym, _channel_indexes(z_sym.shape), coder.z),
             ]
@@ -407,16 +500,17 @@ class DcvcCodec:
         x_ref = dpb["x_ref"]
         z_mv = self.motion_coder.decode_z(
             strings["motion"][1], shapes["motion"], self.model.n)
-        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(z_mv))
+        mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(_sym8_np(z_mv)))
         y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
         context, ctx_small = self._dec_ctx(
-            p, jnp.asarray(y_mv_sym), mv_means, x_ref)
+            p, jnp.asarray(_sym16_np(y_mv_sym)), mv_means, x_ref)
 
         z = self.frame_coder.decode_z(
             strings["frame"][1], shapes["frame"], self.model.n)
-        means, idx = self._dec_fr_prior(p, jnp.asarray(z), ctx_small)
+        means, idx = self._dec_fr_prior(p, jnp.asarray(_sym8_np(z)), ctx_small)
         y_sym = self.frame_coder.decode_y(strings["frame"][0], idx)
-        x_rec = self._dec_recon(p, jnp.asarray(y_sym), means, context)
+        x_rec = self._dec_recon(
+            p, jnp.asarray(_sym16_np(y_sym)), means, context)
         return x_rec, {"x_ref": x_rec}
 
 

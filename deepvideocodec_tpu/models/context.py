@@ -56,6 +56,17 @@ def _sym16(v):
     return jnp.clip(jnp.round(v), -32767, 32767).astype(jnp.int16)
 
 
+def _sym8z(v):
+    """Hyper-latent (z) symbols as int8. z is the smallest, best-behaved
+    latent (trained magnitudes ~tens); int8 quarters its share of the
+    per-frame device<->host traffic vs int32. The clamp is part of the
+    codec contract: z_hat is reconstructed from the *clamped* symbols on
+    the encoder side too (encode_stage / the staged codec drivers), so
+    encoder and decoder stay bit-exact even in the astronomically unlikely
+    |z - median| > 127 case."""
+    return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
+
+
 def _process_with_mask(y, means, scales, mask):
     """STE-quantize the mean-removed latent on the masked positions."""
     means_hat = means * mask
@@ -215,7 +226,7 @@ class ContextModelBase(nn.Module):
         """
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        z_symbols = jnp.round(z - med).astype(jnp.int32)
+        z_symbols = _sym8z(z - med)
         z_hat = z_symbols.astype(z.dtype) + med
         params = self.hyper_decoder(z_hat)
         if y_ref is None:
@@ -290,10 +301,10 @@ class ContextModelBase(nn.Module):
     # means so encoder/decoder can never diverge.
 
     def encode_z_symbols(self, y):
-        """y -> (z_symbols int32). Deterministic round around medians."""
+        """y -> (z_symbols int8). Deterministic round around medians."""
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        return jnp.round(z - med).astype(jnp.int32)
+        return _sym8z(z - med)
 
     def encode_anchor_symbols(self, y, means):
         """Anchor-stream int32 symbol plane from decoder-produced means."""

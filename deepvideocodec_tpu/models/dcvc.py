@@ -111,7 +111,8 @@ class _ContextualCoder(nn.Module):
     def encode_z_symbols(self, y):
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        return jnp.round(z - med).astype(jnp.int32)
+        from .context import _sym8z
+        return _sym8z(z - med)
 
     def decode_prior(self, z_sym, context_small):
         from ..entropy.gaussian import build_indexes

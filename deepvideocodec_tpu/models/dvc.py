@@ -61,7 +61,8 @@ class _HyperCoder(nn.Module):
     def encode_z_symbols(self, y):
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        return jnp.round(z - med).astype(jnp.int32)
+        from .context import _sym8z
+        return _sym8z(z - med)
 
     def decode_prior(self, z_sym):
         """z symbols -> (means, CDF-index plane) for the single y stream."""

@@ -101,6 +101,38 @@ class TestDmcRoundTrip:
                 np.asarray(enc_dpb2[k]), np.asarray(dec_dpb2[k]),
                 err_msg=f"frame-2 DPB field {k} drifted")
 
+    def test_packed_fetch_matches_per_plane(self, dmc_codec):
+        """The single packed uint8 fetch must carry byte-identical planes
+        (device bitcast byte order == host numpy little-endian views)."""
+        from deepvideocodec_tpu.eval.codec import _host_planes, _np
+
+        frames = _synthetic_frames(2)
+        dpb = empty_dpb(1, 64, 64, SMALL)
+        dpb["x_ref"] = jnp.asarray(frames[0])
+        planes, _ = dmc_codec.encode_device(
+            jnp.asarray(frames[1]), dpb, first_p=True)
+        assert "packed" in planes
+        host = _host_planes(planes)
+        for key in ("motion", "frame"):
+            for f, a in planes[key].items():
+                np.testing.assert_array_equal(
+                    host[key][f], _np(a), err_msg=f"{key}/{f} corrupted")
+
+    def test_symbol_plane_dtypes(self, dmc_codec):
+        """Link dtype contract: y symbols int16, indexes uint8, z int8."""
+        frames = _synthetic_frames(2)
+        dpb = empty_dpb(1, 64, 64, SMALL)
+        dpb["x_ref"] = jnp.asarray(frames[0])
+        planes, _ = dmc_codec.encode_device(
+            jnp.asarray(frames[1]), dpb, first_p=True)
+        for key in ("motion", "frame"):
+            u = planes[key]
+            assert u["q0"].dtype == jnp.int16
+            assert u["q1"].dtype == jnp.int16
+            assert u["i0"].dtype == jnp.uint8
+            assert u["i1"].dtype == jnp.uint8
+            assert u["z_sym"].dtype == jnp.int8
+
     def test_stream_sizes_reasonable(self, dmc_codec):
         frames = _synthetic_frames(2)
         dpb = empty_dpb(1, 64, 64, SMALL)
