@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -136,6 +137,81 @@ inline int32_t find_symbol(const int32_t* cdf, int32_t cdf_len, uint32_t cum) {
 
 extern "C" {
 
+// -- decode lookup table ------------------------------------------------------
+// find_symbol's binary search (~7 dependent branchy loads per symbol) is the
+// decoder's bottleneck. A full 2^16-slot cum -> symbol table is exact but
+// 2 B x 65536 x rows = 8 MB for the 64-row scale table — it thrashes the
+// cache when consecutive symbols hop rows (measured: no better than the
+// search). Instead: a COARSE table of the first symbol in each 64-wide cum
+// bucket (1024 buckets x 2 B x rows = 128 KB, always cache-resident) plus a
+// short linear refine — peaked codec rows span ~1 symbol per bucket.
+
+constexpr int kLutShift = 6;  // 2^16 cum space / 2^6 = 1024 buckets
+
+// Per-(row, symbol) division-free encoder entry (ryg_rans reciprocal
+// trick): (state/freq)<<16 + state%freq + start ==
+// state + bias + ((state * rcp_freq) >> 32 >> rcp_shift) * cmpl_freq.
+struct EncSym {
+  uint32_t rcp_freq;
+  uint32_t x_max;  // renorm threshold: 32768 * freq
+  uint32_t bias;
+  uint16_t cmpl_freq;
+  uint16_t rcp_shift;
+};
+
+struct CoderTables {
+  std::vector<uint16_t> dec_lut;  // coarse cum-bucket -> first symbol
+  std::vector<EncSym> enc;        // cdf_rows x enc_stride
+  int64_t enc_stride = 0;
+};
+
+void* dvc_rans_lut_build(const int32_t* cdfs, int64_t cdf_rows,
+                         int64_t cdf_stride, const int32_t* cdf_lengths) {
+  const int64_t buckets = int64_t{1} << (kPrecision - kLutShift);
+  auto* t = new (std::nothrow) CoderTables;
+  if (t == nullptr) return nullptr;
+  t->dec_lut.resize(static_cast<size_t>(cdf_rows * buckets));
+  t->enc_stride = cdf_stride - 1;  // max symbols per row
+  t->enc.resize(static_cast<size_t>(cdf_rows * t->enc_stride));
+  for (int64_t r = 0; r < cdf_rows; ++r) {
+    const int32_t* cdf = cdfs + r * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[r];
+    uint16_t* row = t->dec_lut.data() + r * buckets;
+    int32_t s = 0;
+    for (int64_t b = 0; b < buckets; ++b) {
+      const int32_t cum = static_cast<int32_t>(b << kLutShift);
+      while (s + 2 < cdf_len && cdf[s + 1] <= cum) ++s;
+      row[b] = static_cast<uint16_t>(s);
+    }
+    EncSym* erow = t->enc.data() + r * t->enc_stride;
+    for (int32_t sym = 0; sym + 1 < cdf_len; ++sym) {
+      const uint32_t start = static_cast<uint32_t>(cdf[sym]);
+      const uint32_t freq = static_cast<uint32_t>(cdf[sym + 1] - cdf[sym]);
+      EncSym e;
+      e.x_max = ((kRansByteL >> kPrecision) << 8) * freq;
+      e.cmpl_freq = static_cast<uint16_t>((1u << kPrecision) - freq);
+      if (freq < 2) {  // freq == 1: q == state exactly via rcp ~0 + bias fix
+        e.rcp_freq = ~0u;
+        e.rcp_shift = 0;
+        e.bias = start + (1u << kPrecision) - 1;
+      } else {
+        uint32_t shift = 0;
+        while (freq > (1u << shift)) ++shift;
+        e.rcp_freq = static_cast<uint32_t>(
+            ((uint64_t{1} << (shift + 31)) + freq - 1) / freq);
+        e.rcp_shift = static_cast<uint16_t>(shift - 1);
+        e.bias = start;
+      }
+      erow[sym] = e;
+    }
+  }
+  return t;
+}
+
+void dvc_rans_lut_free(void* lut) {
+  delete static_cast<CoderTables*>(lut);
+}
+
 // Encode n symbols. cdfs is (cdf_rows, cdf_stride) row-major int32; row r has
 // cdf_lengths[r] valid entries ending in 2^16. Symbol s on row r codes the
 // integer value v = s; the coded alphabet spans [0, cdf_lengths[r]-2) with the
@@ -191,12 +267,19 @@ int64_t dvc_rans_encode_with_indexes(
 }
 
 // Decode n symbols from buf; writes integer values (already offset-shifted
-// back) into out_values. Returns 0 on success.
-int64_t dvc_rans_decode_with_indexes(
+// back) into out_values. `lut` is an optional handle from dvc_rans_lut_build
+// for the same CDF tables (nullptr -> binary-search fallback).
+// Returns 0 on success.
+int64_t dvc_rans_decode_with_indexes_lut(
     const uint8_t* buf, int64_t nbytes, const int32_t* indexes, int64_t n,
     const int32_t* cdfs, int64_t cdf_rows, int64_t cdf_stride,
-    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_values) {
+    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_values,
+    const void* lut_handle) {
   (void)cdf_rows;
+  const uint16_t* lut =
+      lut_handle == nullptr
+          ? nullptr
+          : static_cast<const CoderTables*>(lut_handle)->dec_lut.data();
   Decoder dec(buf, nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
@@ -205,7 +288,15 @@ int64_t dvc_rans_decode_with_indexes(
     const int32_t max_value = cdf_len - 2;
 
     const uint32_t cum = dec.peek_cum();
-    int32_t s = find_symbol(cdf, cdf_len, cum);
+    int32_t s;
+    if (lut != nullptr) {
+      s = static_cast<int32_t>(
+          lut[(static_cast<int64_t>(idx) << (kPrecision - kLutShift)) +
+              (cum >> kLutShift)]);
+      while (s + 2 < cdf_len && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    } else {
+      s = find_symbol(cdf, cdf_len, cum);
+    }
     dec.advance(cdf[s], cdf[s + 1] - cdf[s]);
 
     int64_t value = s;
@@ -228,6 +319,110 @@ int64_t dvc_rans_decode_with_indexes(
     out_values[i] = static_cast<int32_t>(value + offsets[idx]);
   }
   return 0;
+}
+
+// Back-compat entry point (binary-search path).
+int64_t dvc_rans_decode_with_indexes(
+    const uint8_t* buf, int64_t nbytes, const int32_t* indexes, int64_t n,
+    const int32_t* cdfs, int64_t cdf_rows, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_values) {
+  return dvc_rans_decode_with_indexes_lut(buf, nbytes, indexes, n, cdfs,
+                                          cdf_rows, cdf_stride, cdf_lengths,
+                                          offsets, out_values, nullptr);
+}
+
+// Table-accelerated encoder: single reverse pass, division-free via the
+// per-symbol reciprocal entries, no symbol buffering. Emits the exact same
+// byte stream as dvc_rans_encode_with_indexes (asserted in tests).
+// Returns bytes written, or -1 if out_capacity is too small.
+int64_t dvc_rans_encode_with_indexes_tab(
+    const int32_t* values, const int32_t* indexes, int64_t n,
+    const int32_t* cdfs, int64_t cdf_rows, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, uint8_t* out_buf,
+    int64_t out_capacity, const void* handle) {
+  if (handle == nullptr)
+    return dvc_rans_encode_with_indexes(values, indexes, n, cdfs, cdf_rows,
+                                        cdf_stride, cdf_lengths, offsets,
+                                        out_buf, out_capacity);
+  const CoderTables* t = static_cast<const CoderTables*>(handle);
+  uint32_t state = kRansByteL;
+  uint8_t* const buf = out_buf;
+  uint8_t* p = out_buf + out_capacity;  // bytes grow downward
+
+  // rANS emits in reverse of decode order. Decode reads, per symbol:
+  // escape-coded symbol, then the unary chunk count, then the chunks —
+  // so walking values backward, each symbol emits: chunks reversed, the
+  // unary reversed, then the (escape) symbol itself.
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t idx = indexes[i];
+    const int32_t cdf_len = cdf_lengths[idx];
+    const int32_t max_value = cdf_len - 2;
+    const EncSym* erow = t->enc.data() + idx * t->enc_stride;
+
+    int64_t value = static_cast<int64_t>(values[i]) - offsets[idx];
+    uint64_t raw_val = 0;
+    bool escape = false;
+    if (value < 0) {
+      raw_val = static_cast<uint64_t>(-2 * value - 1);
+      value = max_value;
+      escape = true;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint64_t>(2 * (value - max_value));
+      value = max_value;
+      escape = true;
+    }
+
+    if (escape) {
+      int32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      // chunks, last first
+      for (int32_t j = n_bypass - 1; j >= 0; --j) {
+        const uint32_t chunk = static_cast<uint32_t>(
+            (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal);
+        uint32_t x_max = (kRansByteL << 8) >> kBypassPrecision;
+        while (state >= x_max) {
+          if (p == buf) return -1;
+          *--p = static_cast<uint8_t>(state & 0xff);
+          state >>= 8;
+        }
+        state = (state << kBypassPrecision) | chunk;
+      }
+      // unary chunk count, reversed: the final (< 15) digit first
+      int32_t v = n_bypass;
+      const int32_t tail = v % kMaxBypassVal;
+      const int32_t n_full = v / kMaxBypassVal;
+      for (int32_t j = 0; j <= n_full; ++j) {
+        const uint32_t digit = static_cast<uint32_t>(
+            j == 0 ? tail : kMaxBypassVal);
+        uint32_t x_max = (kRansByteL << 8) >> kBypassPrecision;
+        while (state >= x_max) {
+          if (p == buf) return -1;
+          *--p = static_cast<uint8_t>(state & 0xff);
+          state >>= 8;
+        }
+        state = (state << kBypassPrecision) | digit;
+      }
+    }
+
+    const EncSym e = erow[value];
+    while (state >= e.x_max) {
+      if (p == buf) return -1;
+      *--p = static_cast<uint8_t>(state & 0xff);
+      state >>= 8;
+    }
+    const uint32_t q = static_cast<uint32_t>(
+        (static_cast<uint64_t>(state) * e.rcp_freq) >> 32) >> e.rcp_shift;
+    state = state + e.bias + q * e.cmpl_freq;
+  }
+
+  for (int i = 0; i < 4; ++i) {
+    if (p == buf) return -1;
+    *--p = static_cast<uint8_t>(state & 0xff);
+    state >>= 8;
+  }
+  const int64_t nb = (out_buf + out_capacity) - p;
+  std::memmove(out_buf, p, static_cast<size_t>(nb));
+  return nb;
 }
 
 // Quantize a pmf (pmf_len in-range bins + tail_mass appended internally) to a

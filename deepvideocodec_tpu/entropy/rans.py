@@ -37,6 +37,24 @@ def _load():
             i32p, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, i32p,
         ]
+        lib.dvc_rans_encode_with_indexes_tab.restype = ctypes.c_int64
+        lib.dvc_rans_encode_with_indexes_tab.argtypes = [
+            i32p, i32p, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, u8p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.dvc_rans_decode_with_indexes_lut.restype = ctypes.c_int64
+        lib.dvc_rans_decode_with_indexes_lut.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_void_p,
+        ]
+        lib.dvc_rans_lut_build.restype = ctypes.c_void_p
+        lib.dvc_rans_lut_build.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ]
+        lib.dvc_rans_lut_free.restype = None
+        lib.dvc_rans_lut_free.argtypes = [ctypes.c_void_p]
         lib.dvc_pmf_to_quantized_cdf.restype = ctypes.c_int64
         lib.dvc_pmf_to_quantized_cdf.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -67,6 +85,31 @@ def encode_with_indexes(
     # worst case: every symbol escapes + 32-bit bypass; 16 bytes/sym is safe
     cap = 16 * n + 64
     out = np.empty(cap, np.uint8)
+    nb = lib.dvc_rans_encode_with_indexes_tab(
+        _ptr(values, ctypes.c_int32), _ptr(indexes, ctypes.c_int32), n,
+        _ptr(table.quantized_cdf, ctypes.c_int32),
+        table.quantized_cdf.shape[0], table.quantized_cdf.shape[1],
+        _ptr(table.cdf_length, ctypes.c_int32),
+        _ptr(table.offset, ctypes.c_int32),
+        _ptr(out, ctypes.c_uint8), cap,
+        _coder_tables(table).handle,
+    )
+    if nb < 0:
+        raise RuntimeError("rANS encode buffer overflow")
+    return out[:nb].tobytes()
+
+
+def encode_with_indexes_reference(
+    values: np.ndarray, indexes: np.ndarray, table: CdfTable
+) -> bytes:
+    """Buffered/division encoder (no tables) — the equivalence oracle for
+    the fast path; kept for tests."""
+    lib = _load()
+    values = _i32(values).ravel()
+    indexes = _i32(indexes).ravel()
+    n = values.size
+    cap = 16 * n + 64
+    out = np.empty(cap, np.uint8)
     nb = lib.dvc_rans_encode_with_indexes(
         _ptr(values, ctypes.c_int32), _ptr(indexes, ctypes.c_int32), n,
         _ptr(table.quantized_cdf, ctypes.c_int32),
@@ -78,6 +121,38 @@ def encode_with_indexes(
     if nb < 0:
         raise RuntimeError("rANS encode buffer overflow")
     return out[:nb].tobytes()
+
+
+class _CoderTables:
+    """Owns the native acceleration tables for one CdfTable: the coarse
+    cum->symbol decode buckets (one load + short refine instead of a
+    binary search) and the per-symbol reciprocal encoder entries
+    (division-free single-pass encode). Built lazily on first use.
+    """
+
+    def __init__(self, table: CdfTable):
+        lib = _load()
+        self._free = lib.dvc_rans_lut_free  # bound before any raise
+        self.handle = lib.dvc_rans_lut_build(
+            _ptr(table.quantized_cdf, ctypes.c_int32),
+            table.quantized_cdf.shape[0], table.quantized_cdf.shape[1],
+            _ptr(table.cdf_length, ctypes.c_int32),
+        )
+
+    def __del__(self):  # pragma: no cover - interpreter teardown timing
+        try:
+            if self.handle:
+                self._free(self.handle)
+        except Exception:
+            pass
+
+
+def _coder_tables(table: CdfTable):
+    t = getattr(table, "_coder_tables", None)
+    if t is None:
+        t = _CoderTables(table)
+        object.__setattr__(table, "_coder_tables", t)
+    return t
 
 
 def decode_with_indexes(
@@ -94,7 +169,7 @@ def decode_with_indexes(
         buf = np.zeros(4, np.uint8)
     buf = np.ascontiguousarray(buf)
     out = np.empty(n, np.int32)
-    rc = lib.dvc_rans_decode_with_indexes(
+    rc = lib.dvc_rans_decode_with_indexes_lut(
         _ptr(buf, ctypes.c_uint8), buf.size,
         _ptr(flat, ctypes.c_int32), n,
         _ptr(table.quantized_cdf, ctypes.c_int32),
@@ -102,6 +177,7 @@ def decode_with_indexes(
         _ptr(table.cdf_length, ctypes.c_int32),
         _ptr(table.offset, ctypes.c_int32),
         _ptr(out, ctypes.c_int32),
+        _coder_tables(table).handle,
     )
     if rc != 0:
         raise RuntimeError("rANS decode failed")

@@ -11,6 +11,7 @@ from deepvideocodec_tpu.entropy import (
 )
 from deepvideocodec_tpu.entropy.rans import (
     encode_with_indexes,
+    encode_with_indexes_reference,
     decode_with_indexes,
     pmf_to_quantized_cdf_native,
 )
@@ -39,6 +40,24 @@ class TestRoundTrip:
         data = encode_with_indexes(values, indexes, gauss_table)
         decoded = decode_with_indexes(data, indexes, gauss_table)
         np.testing.assert_array_equal(decoded, values)
+
+    def test_fast_encoder_bytes_identical(self, gauss_table, rng):
+        """The table-accelerated single-pass encoder must emit the exact
+        byte stream of the buffered/division encoder — in-range symbols,
+        escapes with multi-chunk bypasses, and the escape-bin value."""
+        n = 20_000
+        indexes = rng.integers(0, 64, n).astype(np.int32)
+        scales = np.asarray(get_scale_table())[indexes]
+        values = np.round(rng.standard_normal(n) * scales).astype(np.int32)
+        # salt in extremes: deep escapes and exact escape-bin hits
+        values[:64] = rng.integers(-2**31, 2**31 - 1, 64)
+        values[64] = 2**31 - 1
+        values[65] = -2**31
+        fast = encode_with_indexes(values, indexes, gauss_table)
+        ref = encode_with_indexes_reference(values, indexes, gauss_table)
+        assert fast == ref
+        np.testing.assert_array_equal(
+            decode_with_indexes(fast, indexes, gauss_table), values)
 
     def test_empty(self, gauss_table):
         data = encode_with_indexes(
