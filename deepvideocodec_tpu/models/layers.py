@@ -147,18 +147,37 @@ class ResidualBlockWithStride(nn.Module):
 
 
 class ResidualBlockUpsample(nn.Module):
-    """Sub-pixel x2 residual upsampler (shortcut is a second subpel conv)."""
+    """Sub-pixel x2 residual upsampler (shortcut is a second subpel conv).
+
+    Both subpel 1x1 convs read the same input -> one widened 1x1 conv,
+    split + depth-to-space per half (output lanes are the cost, extra
+    channels nearly free — docs/PERFORMANCE.md).
+    """
 
     features: int
     r: int = 2
 
     @nn.compact
     def __call__(self, x):
-        out = SubpelConv(self.features, self.r, kernel=1)(x)
+        f, r = self.features, self.r
+        cin = x.shape[-1]
+        n_out = f * r * r
+        k_up = self.param("up_kernel", codec_kernel_init, (1, 1, cin, n_out))
+        b_up = self.param("up_bias", codec_bias_init, (n_out,))
+        k_sc = self.param("sc_kernel", codec_kernel_init, (1, 1, cin, n_out))
+        b_sc = self.param("sc_bias", codec_bias_init, (n_out,))
+        kk = jnp.concatenate([k_up, k_sc], axis=-1)
+        bb = jnp.concatenate([b_up, b_sc])
+        cd = get_compute_dtype()
+        y = jax.lax.conv_general_dilated(
+            x.astype(cd), kk.astype(cd), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bb.astype(cd)
+        out = depth_to_space(y[..., :n_out], r)
+        shortcut = depth_to_space(y[..., n_out:], r)
         out = leaky_relu(out, 0.01)
-        out = conv(self.features)(out)
+        out = conv(f)(out)
         out = leaky_relu(out, 0.1)
-        shortcut = SubpelConv(self.features, self.r, kernel=1)(x)
         return out + shortcut
 
 
@@ -197,19 +216,41 @@ class SELayer(nn.Module):
 
 
 class ConvBlockResidual(nn.Module):
-    """conv-LReLU-conv(-SE) with a 1x1 projection shortcut (UNet block)."""
+    """conv-LReLU-conv(-SE) with a 1x1 projection shortcut (UNet block).
+
+    The entry conv and the 1x1 shortcut read the same input, so they run
+    as ONE widened 3x3 conv (the 1x1 kernel embedded at the center tap,
+    zero ring): at these widths TPU convs are output-lane-bound, making
+    the extra output channels nearly free while a separate full-res 1x1
+    pass is not (docs/PERFORMANCE.md). Exact at borders — the zero ring
+    contributes nothing under 'same' zero padding.
+    """
 
     features: int
     se_layer: bool = True
 
     @nn.compact
     def __call__(self, x):
-        out = conv(self.features)(x)
+        f = self.features
+        cin = x.shape[-1]
+        k1 = self.param("conv1_kernel", codec_kernel_init, (3, 3, cin, f))
+        b1 = self.param("conv1_bias", codec_bias_init, (f,))
+        ks = self.param("shortcut_kernel", codec_kernel_init, (1, 1, cin, f))
+        bs = self.param("shortcut_bias", codec_bias_init, (f,))
+        kk = jnp.zeros((3, 3, cin, 2 * f), k1.dtype)
+        kk = kk.at[:, :, :, :f].set(k1)
+        kk = kk.at[1, 1, :, f:].set(ks[0, 0])
+        bb = jnp.concatenate([b1, bs])
+        cd = get_compute_dtype()
+        y = jax.lax.conv_general_dilated(
+            x.astype(cd), kk.astype(cd), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bb.astype(cd)
+        out, shortcut = y[..., :f], y[..., f:]
         out = leaky_relu(out, 0.01)
-        out = conv(self.features)(out)
+        out = conv(f)(out)
         if self.se_layer:
             out = SELayer()(out)
-        shortcut = conv(self.features, 1)(x)
         return out + shortcut
 
 
@@ -243,13 +284,49 @@ class UNet(nn.Module):
 
 
 class MEBasic(nn.Module):
-    """One SpyNet pyramid-level CNN: 8 -> 32 -> 64 -> 32 -> 16 -> 2, 7x7."""
+    """One SpyNet pyramid-level CNN: 8 -> 32 -> 64 -> 32 -> 16 -> 2, 7x7.
+
+    `phase=True` evaluates the exact same convs in 2x2 phase space
+    (ops/phase.py): at these widths a full-res 7x7 conv uses a fraction
+    of the MXU lanes, while the phase form runs ~1.7x faster despite its
+    ~2x FLOPs. Same parameters either way; output equal up to float
+    reassociation. Used for the fine (large) pyramid levels.
+    """
 
     @nn.compact
-    def __call__(self, x):
-        for feats in (32, 64, 32, 16):
-            x = nn.relu(conv(feats, 7)(x))
-        return conv(2, 7, dtype=jnp.float32)(x)  # flow field stays f32
+    def __call__(self, x, phase: bool = False):
+        from ..ops.phase import space_to_depth2, depth_to_space2, phase_conv
+
+        widths = (32, 64, 32, 16, 2)
+        cd = get_compute_dtype()
+        layers = []
+        cin = x.shape[-1]
+        for i, f in enumerate(widths):
+            k = self.param(f"conv{i}_kernel", codec_kernel_init,
+                           (7, 7, cin, f))
+            b = self.param(f"conv{i}_bias", codec_bias_init, (f,))
+            layers.append((k, b))
+            cin = f
+
+        def run(t, to_phase: bool):
+            for i, (k, b) in enumerate(layers):
+                last = i == len(layers) - 1
+                dt = jnp.float32 if last else cd  # flow field stays f32
+                t = t.astype(dt)
+                if to_phase:
+                    t = phase_conv(t, k.astype(dt), b.astype(dt))
+                else:
+                    t = jax.lax.conv_general_dilated(
+                        t, k.astype(dt), (1, 1), ((3, 3), (3, 3)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + b.astype(dt)
+                if not last:
+                    t = nn.relu(t)
+            return t
+
+        if phase:
+            return depth_to_space2(run(space_to_depth2(x), True))
+        return run(x, False)
 
 
 class SpyNet(nn.Module):
@@ -276,7 +353,11 @@ class SpyNet(nn.Module):
             i = self.levels - 1 - level
             inp = jnp.concatenate(
                 [pyr1[i], flow_warp(pyr2[i], flow_up), flow_up], axis=-1)
-            flow = flow_up + MEBasic(name=f"level_{level}")(inp)
+            # phase-space conv pays off once the level is large enough to
+            # be lane-bound (the two finest levels at 1080p)
+            use_phase = inp.shape[1] * inp.shape[2] >= 500_000
+            flow = flow_up + MEBasic(name=f"level_{level}")(
+                inp, phase=use_phase)
         return flow
 
 

@@ -203,3 +203,43 @@ class TestLowerBound:
 
         g2 = jax.grad(f2)(jnp.array([0.5, 2.0]))
         np.testing.assert_allclose(np.asarray(g2), [-1.0, -1.0])
+
+
+class TestPhaseConv:
+    """Phase-space conv (ops/phase.py) must equal the direct 'same' conv."""
+
+    @pytest.mark.parametrize("k,cin,cout", [(3, 5, 7), (5, 4, 3), (7, 8, 32)])
+    def test_matches_direct_conv(self, k, cin, cout, rng):
+        from deepvideocodec_tpu.ops.phase import (
+            space_to_depth2, depth_to_space2, phase_conv)
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, cin)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((k, k, cin, cout)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        p = k // 2
+        direct = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        phased = depth_to_space2(phase_conv(space_to_depth2(x), w, b))
+        np.testing.assert_allclose(
+            np.asarray(phased), np.asarray(direct), atol=2e-4, rtol=1e-4)
+
+    def test_s2d_roundtrip(self, rng):
+        from deepvideocodec_tpu.ops.phase import (
+            space_to_depth2, depth_to_space2)
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 6, 3)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space2(space_to_depth2(x))), np.asarray(x))
+
+    def test_mebasic_phase_equals_direct(self, rng):
+        from deepvideocodec_tpu.models.layers import MEBasic
+
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 8)), jnp.float32)
+        m = MEBasic()
+        params = m.init(jax.random.PRNGKey(0), x)
+        direct = m.apply(params, x, phase=False)
+        phased = m.apply(params, x, phase=True)
+        np.testing.assert_allclose(
+            np.asarray(phased), np.asarray(direct), atol=2e-4, rtol=1e-4)
