@@ -44,11 +44,11 @@ def main():
     h, w = 1080, 1920
     # long enough that tunnel/host noise averages out (~1 min timed)
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    # measured on v5e at 2 streams: bf16 0.882 fps vs f32 0.793 — since
-    # the x-paired warp cut the gather cost, conv time dominates and the
-    # bf16 MXU gain outweighs the casts at the f32 pins (pre-pairing it
-    # was the other way around); see docs/PERFORMANCE.md. The codec is
-    # bit-exact encoder/decoder in either mode (entropy math stays f32).
+    # bf16 default: conv time dominates and the MXU gain outweighs the
+    # casts at the f32 pins; the codec is bit-exact encoder/decoder in
+    # either mode (entropy math stays f32). Stream count 4 measured best
+    # among {2,3,4,5} within noise (link RTTs overlap across streams;
+    # see docs/PERFORMANCE.md link cost model).
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     key = jax.random.PRNGKey(0)
@@ -56,14 +56,37 @@ def main():
     params = jax.block_until_ready(fast_init(model, key))
     codec = DmcCodec(model, params)
 
-    # uint8 source frames (8-bit video), converted to float on device —
-    # a 1080p frame is 6.3 MB over the host link instead of 25 MB.
-    frames_u8 = [
+    # 8-bit source frames converted to float on device. Default ingestion
+    # is YUV 4:2:0 — the production video delivery format — packed into
+    # ONE flat uint8 buffer per frame: 3.1 MB and a single transfer floor
+    # over the host link instead of 6.3 MB RGB (BENCH_INPUT=rgb for the
+    # old path). Device converts (ops/colorspace.py) inside the same jit.
+    input_fmt = os.environ.get("BENCH_INPUT", "yuv420")
+    rgb_u8 = [
         (pad_to_multiple(f) * 255.0 + 0.5).astype(np.uint8)
         for f in synthetic_video_frames(n_frames + 2, h, w, seed=0)
     ]
-    Hp, Wp = frames_u8[0].shape[1:3]
-    to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+    Hp, Wp = rgb_u8[0].shape[1:3]
+    if input_fmt == "yuv420":
+        from deepvideocodec_tpu.ops.colorspace import (
+            rgb_to_yuv420_np, yuv420_to_rgb)
+
+        def pack(f):
+            y, u, v = rgb_to_yuv420_np(f)
+            return np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+
+        frames_u8 = [pack(f) for f in rgb_u8]
+        ny, nc = Hp * Wp, (Hp // 2) * (Wp // 2)
+
+        @jax.jit
+        def to_f32(buf):
+            y = buf[:ny].reshape(1, Hp, Wp, 1)
+            u = buf[ny:ny + nc].reshape(1, Hp // 2, Wp // 2, 1)
+            v = buf[ny + nc:].reshape(1, Hp // 2, Wp // 2, 1)
+            return yuv420_to_rgb(y, u, v)
+    else:
+        frames_u8 = rgb_u8
+        to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
 
     dpb = empty_dpb(1, Hp, Wp, model.cfg)
     dpb["x_ref"] = to_f32(jnp.asarray(frames_u8[0]))
@@ -88,7 +111,7 @@ def main():
     # host coding / transfers are in flight — the per-chip *throughput*
     # a serving deployment gets (each stream's frames remain strictly
     # sequential, exactly like the single-stream path).
-    n_streams = int(os.environ.get("BENCH_STREAMS", "2"))
+    n_streams = int(os.environ.get("BENCH_STREAMS", "4"))
     err = []
 
     # Frame uploads ride a prefetch thread (depth 2): the 6 MB/frame host->

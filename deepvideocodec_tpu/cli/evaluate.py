@@ -22,8 +22,10 @@ from pathlib import Path
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a TPU video codec")
     p.add_argument("-m", "--model", default="dmc",
-                   choices=["dmc", "dvc", "dcvc"],
-                   help="video codec family (reference -m flag)")
+                   choices=["dmc", "dvc", "dcvc", "intra"],
+                   help="video codec family (reference -m flag); 'intra' "
+                        "codes every frame with the image codec alone "
+                        "(all-I evaluation, BASELINE config #2)")
     p.add_argument("--pipelined", action="store_true",
                    help="overlap host coding with device compute "
                         "(byte-identical bitstreams)")
@@ -68,15 +70,23 @@ def main(argv=None):
     setup_logger(results_dir / "eval.log")
 
     rng = jax.random.PRNGKey(0)
-    model_cls, codec_cls = {
-        "dmc": (DMC, DmcCodec),
-        "dvc": (DVC, DvcCodec),
-        "dcvc": (DCVC, DcvcCodec),
-    }[args.model]
-    model = model_cls()
-    ex = jnp.zeros((1, 3, 64, 64, 3))
-    params = fast_init(model, rng)
-    if args.checkpoint:
+    if args.model == "intra":
+        # all-intra: no inter model; every frame is an I-frame (gop=1)
+        model_cls = codec_cls = None
+        args.gop = 1
+    else:
+        model_cls, codec_cls = {
+            "dmc": (DMC, DmcCodec),
+            "dvc": (DVC, DvcCodec),
+            "dcvc": (DCVC, DcvcCodec),
+        }[args.model]
+    if args.model == "intra":
+        model = params = None
+    else:
+        model = model_cls()
+        ex = jnp.zeros((1, 3, 64, 64, 3))
+        params = fast_init(model, rng)
+    if args.model != "intra" and args.checkpoint:
         step = latest_step(args.checkpoint)
         if step is None:
             raise FileNotFoundError(
@@ -104,7 +114,8 @@ def main(argv=None):
                 args.intra_checkpoint, istep, intra_params)
             logging.info("loaded intra ckpt step %d", istep)
 
-    inter_codec = codec_cls(model, params)
+    inter_codec = (None if args.model == "intra"
+                   else codec_cls(model, params))
     intra_codec = IntraCodec(intra_model, intra_params)
 
     for q in args.qualities:

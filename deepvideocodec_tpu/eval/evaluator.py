@@ -144,7 +144,10 @@ def evaluate_video(
                 rec_pad = intra_codec.decompress(
                     out["strings"], out["shape"])
                 write_body(f, out["shape"], out["strings"])
-                dpb = inter_codec.init_dpb(rec_pad)
+                # all-intra coding (gop=1, inter_codec=None) never
+                # propagates a DPB
+                if inter_codec is not None:
+                    dpb = inter_codec.init_dpb(rec_pad)
                 first_p = True
             else:
                 payload, _enc_dpb = inter_codec.encode_inter(

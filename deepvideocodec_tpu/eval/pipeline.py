@@ -62,7 +62,8 @@ class _DecodeWorker:
                         out["strings"], out["shape"])
                     if self.f is not None:
                         write_body(self.f, out["shape"], out["strings"])
-                    self.dpb = self.inter.init_dpb(rec_pad)
+                    if self.inter is not None:
+                        self.dpb = self.inter.init_dpb(rec_pad)
                     self.first_p = True
                 else:
                     payload = payload_or_future.result()
@@ -146,7 +147,8 @@ def code_sequence_pipelined(
                 out = intra_codec.compress(x_pad)
                 rec_pad = intra_codec.decompress(
                     out["strings"], out["shape"])
-                enc_dpb = inter_codec.init_dpb(rec_pad)
+                if inter_codec is not None:
+                    enc_dpb = inter_codec.init_dpb(rec_pad)
                 first_p = True
                 worker.put(("i", out, x_pad, (h, w)))
             else:

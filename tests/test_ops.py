@@ -243,3 +243,37 @@ class TestPhaseConv:
         phased = m.apply(params, x, phase=True)
         np.testing.assert_allclose(
             np.asarray(phased), np.asarray(direct), atol=2e-4, rtol=1e-4)
+
+
+class TestColorspace:
+    def test_yuv420_roundtrip_quality(self, rng):
+        from deepvideocodec_tpu.ops.colorspace import (
+            rgb_to_yuv420_np, yuv420_to_rgb)
+
+        # smooth content (chroma subsampling is lossy on noise by design)
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+        rgb = np.stack([
+            0.5 + 0.45 * np.sin(xx / 17 + c) * np.cos(yy / 13 - c)
+            for c in (0.3, 1.1, 2.0)], axis=-1)[None]
+        rgb_u8 = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+
+        y, u, v = rgb_to_yuv420_np(rgb_u8)
+        assert y.shape == (1, 64, 96, 1) and y.dtype == np.uint8
+        assert u.shape == (1, 32, 48, 1) and v.shape == (1, 32, 48, 1)
+
+        back = np.asarray(yuv420_to_rgb(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+        assert back.shape == (1, 64, 96, 3)
+        mse = np.mean((back - rgb_u8.astype(np.float32) / 255.0) ** 2)
+        psnr = -10 * np.log10(mse + 1e-12)
+        assert psnr > 38.0, psnr
+
+    def test_gray_is_exactish(self):
+        from deepvideocodec_tpu.ops.colorspace import (
+            rgb_to_yuv420_np, yuv420_to_rgb)
+
+        rgb_u8 = np.full((1, 16, 16, 3), 120, np.uint8)
+        y, u, v = rgb_to_yuv420_np(rgb_u8)
+        back = np.asarray(yuv420_to_rgb(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+        np.testing.assert_allclose(back, 120.0 / 255.0, atol=2e-2)
