@@ -61,6 +61,26 @@ def _sym8_np(x) -> np.ndarray:
     return np.clip(np.asarray(x), -127, 127).astype(np.int8)
 
 
+_widen16 = None
+
+
+def _upload_syms16(arr) -> "jax.Array":
+    """Upload decoded y symbols for an int16-input stage program.
+
+    Uploads int8 + a tiny on-device widening (integer, exact) whenever
+    the plane fits — halving the upload — else int16 directly. Trained
+    models always fit; the shared decoder programs see int16 either way,
+    so encoder/decoder symmetry is untouched."""
+    global _widen16
+    a = np.asarray(arr)
+    # int64 abs: np.abs(INT32_MIN) wraps negative and would pass <= 127
+    if a.size and np.abs(a.astype(np.int64)).max() <= 127:
+        if _widen16 is None:
+            _widen16 = jax.jit(lambda t: t.astype(jnp.int16))
+        return _widen16(jnp.asarray(a.astype(np.int8)))
+    return jnp.asarray(np.clip(a, -32767, 32767).astype(np.int16))
+
+
 # -- packed plane transport ---------------------------------------------------
 # The symbol/index planes of one frame are produced by several device
 # programs; fetching them one by one costs one tunnel round trip each (the
@@ -306,10 +326,10 @@ class DmcCodec:
             p, z_dev, dpb, first_p=first_p)
         yq_r0 = self.motion_coder.decode_y(strings["motion"][0], idx_r0)
         yh00, yh11, nm0, nm1, idx_r1 = self._dec_mv_spatial(
-            p, jnp.asarray(_sym16_np(yq_r0)), means, scales)
+            p, _upload_syms16(yq_r0), means, scales)
         yq_r1 = self.motion_coder.decode_y(strings["motion"][1], idx_r1)
         y_mv_hat, c1, c2, c3, _ = self._dec_mv_combine_ctx(
-            p, yh00, yh11, nm0, nm1, jnp.asarray(_sym16_np(yq_r1)), dpb,
+            p, yh00, yh11, nm0, nm1, _upload_syms16(yq_r1), dpb,
             first_p=first_p)
 
         # frame latent (z already uploaded above)
@@ -317,10 +337,10 @@ class DmcCodec:
             p, z_f_dev, dpb, c3, first_p=first_p)
         fq_r0 = self.frame_coder.decode_y(strings["frame"][0], fidx_r0)
         fh00, fh11, fm0, fm1, fidx_r1 = self._dec_fr_spatial(
-            p, jnp.asarray(_sym16_np(fq_r0)), means_f, scales_f)
+            p, _upload_syms16(fq_r0), means_f, scales_f)
         fq_r1 = self.frame_coder.decode_y(strings["frame"][1], fidx_r1)
         x_rec, new_dpb = self._dec_fr_recon(
-            p, fh00, fh11, fm0, fm1, jnp.asarray(_sym16_np(fq_r1)),
+            p, fh00, fh11, fm0, fm1, _upload_syms16(fq_r1),
             y_mv_hat, c1, c2, c3)
         return x_rec, new_dpb
 
@@ -411,14 +431,14 @@ class DvcCodec:
         mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(_sym8_np(z_mv)))
         y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
         x_pred = self._dec_pred(
-            p, jnp.asarray(_sym16_np(y_mv_sym)), mv_means, x_ref)
+            p, _upload_syms16(y_mv_sym), mv_means, x_ref)
 
         z_res = self.residual_coder.decode_z(
             strings["frame"][1], shapes["frame"], self.model.n)
         r_means, r_idx = self._dec_res_prior(p, jnp.asarray(_sym8_np(z_res)))
         y_res_sym = self.residual_coder.decode_y(strings["frame"][0], r_idx)
         x_rec = self._dec_recon(
-            p, jnp.asarray(_sym16_np(y_res_sym)), r_means, x_pred)
+            p, _upload_syms16(y_res_sym), r_means, x_pred)
         return x_rec, {"x_ref": x_rec}
 
 
@@ -503,14 +523,14 @@ class DcvcCodec:
         mv_means, mv_idx = self._dec_mv_prior(p, jnp.asarray(_sym8_np(z_mv)))
         y_mv_sym = self.motion_coder.decode_y(strings["motion"][0], mv_idx)
         context, ctx_small = self._dec_ctx(
-            p, jnp.asarray(_sym16_np(y_mv_sym)), mv_means, x_ref)
+            p, _upload_syms16(y_mv_sym), mv_means, x_ref)
 
         z = self.frame_coder.decode_z(
             strings["frame"][1], shapes["frame"], self.model.n)
         means, idx = self._dec_fr_prior(p, jnp.asarray(_sym8_np(z)), ctx_small)
         y_sym = self.frame_coder.decode_y(strings["frame"][0], idx)
         x_rec = self._dec_recon(
-            p, jnp.asarray(_sym16_np(y_sym)), means, context)
+            p, _upload_syms16(y_sym), means, context)
         return x_rec, {"x_ref": x_rec}
 
 
