@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--pipelined", action="store_true",
                    help="overlap host coding with device compute "
                         "(byte-identical bitstreams)")
+    p.add_argument("--msssim", action="store_true",
+                   help="also record MS-SSIM per sequence (serial path)")
     p.add_argument("--frames-root", required=True,
                    help="dir of sequence dirs, each holding *.png frames")
     p.add_argument("--checkpoint", type=str, default=None,
@@ -124,6 +126,9 @@ def main(argv=None):
             tag = (f"{args.dataset_name}-{args.model}-q{q}-gop{args.gop}"
                    f"-num{args.frames}")
             bits_path = Path(args.cache_dir) / tag / f"{seq.stem}.bits"
+            if args.pipelined and args.msssim:
+                raise SystemExit("--msssim requires the serial path "
+                                 "(drop --pipelined)")
             if args.pipelined:
                 stats = code_sequence_pipelined(
                     inter_codec, intra_codec,
@@ -139,6 +144,7 @@ def main(argv=None):
                     gop=args.gop,
                     results_path=results_dir / f"q{q}.json",
                     video_name=str(seq), quality=q,
+                    compute_msssim=args.msssim,
                 )
             agg_bpp.append(stats["bpp"])
             agg_psnr.append(stats["psnr"])

@@ -61,6 +61,33 @@ def mses_to_psnrs(mses) -> np.ndarray:
     return -10.0 * np.log10(np.maximum(vals, 1e-12))
 
 
+_MSSSIM_FNS = {}
+
+
+def device_msssim(x_pad_dev, rec_pad_dev, size):
+    """Center-cropped MS-SSIM on device; returns a device scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.metrics import msssim_value
+
+    h, w = size
+    H, W = x_pad_dev.shape[1], x_pad_dev.shape[2]
+    key = (h, w, H, W)
+    fn = _MSSSIM_FNS.get(key)
+    if fn is None:
+        top, left = (H - h) // 2, (W - w) // 2
+
+        def f(a, b):
+            ac = a[:, top:top + h, left:left + w, :].astype(jnp.float32)
+            bc = b[:, top:top + h, left:left + w, :].astype(jnp.float32)
+            return msssim_value(ac, bc)
+
+        fn = jax.jit(f)
+        _MSSSIM_FNS[key] = fn
+    return fn(x_pad_dev, rec_pad_dev)
+
+
 def pad_to_multiple(x: np.ndarray, p: int = 64) -> np.ndarray:
     """Center zero-pad (B, H, W, C) spatially to multiples of p."""
     _, h, w, _ = x.shape
@@ -121,8 +148,10 @@ def evaluate_video(
     results_path=None,
     video_name: str = "",
     quality: int = 0,
+    compute_msssim: bool = False,
 ) -> Dict[str, float]:
-    """Code a sequence end-to-end; returns {'bpp', 'psnr', 'frames', ...}."""
+    """Code a sequence end-to-end; returns {'bpp', 'psnr', 'frames', ...}
+    (+ 'msssim' when compute_msssim)."""
     bits_path = Path(bits_path)
     bits_path.parent.mkdir(parents=True, exist_ok=True)
 
@@ -130,6 +159,7 @@ def evaluate_video(
 
     tic = time.time()
     mses = []
+    msssims = []
     n_frames = 0
     h = w = None
     dpb = None
@@ -161,6 +191,8 @@ def evaluate_video(
                 first_p = False
 
             mses.append(device_mse(x_pad, rec_pad, (h, w)))
+            if compute_msssim:
+                msssims.append(device_msssim(x_pad, rec_pad, (h, w)))
             n_frames += 1
 
     psnrs = mses_to_psnrs(mses)
@@ -174,6 +206,11 @@ def evaluate_video(
         "frames": n_frames,
         "seconds": time.time() - tic,
     }
+    if compute_msssim:
+        import jax
+
+        stats["msssim"] = float(np.mean(np.asarray(
+            jax.device_get(list(msssims)), np.float64)))
 
     if results_path is not None:
         append_result(results_path, stats)

@@ -26,7 +26,7 @@ from ..ops import flow_warp
 from ..ops.quant import quantize_ste
 from .layers import conv, leaky_relu, SpyNet, AutoEncoder, ResBlock, \
     SubpelConv, HyperEncoder, HyperDecoder
-from .context import _split2, TemporalPriorEncoder
+from .context import _split2, _sym8z, _sym16, TemporalPriorEncoder
 from .dvc import _HyperCoder
 
 
@@ -111,7 +111,6 @@ class _ContextualCoder(nn.Module):
     def encode_z_symbols(self, y):
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        from .context import _sym8z
         return _sym8z(z - med)
 
     def decode_prior(self, z_sym, context_small):
@@ -207,7 +206,6 @@ class DCVC(nn.Module):
         return self.frame_coder.decode_prior(z_sym, context_small)
 
     def encode_frame_symbols(self, y, means):
-        from .context import _sym16
         return _sym16(y - means)
 
     def decode_reconstruct(self, y_sym, means, context):

@@ -29,7 +29,7 @@ from ..ops import flow_warp
 from ..ops.quant import quantize_ste
 from .layers import conv, leaky_relu, SpyNet, AutoEncoder, UNet, \
     HyperEncoder, HyperDecoder
-from .context import _split2
+from .context import _split2, _sym8z, _sym16
 
 
 class _HyperCoder(nn.Module):
@@ -61,7 +61,6 @@ class _HyperCoder(nn.Module):
     def encode_z_symbols(self, y):
         z = self.hyper_encoder(y)
         med = self.entropy_bottleneck.medians()[None, None, None, :]
-        from .context import _sym8z
         return _sym8z(z - med)
 
     def decode_prior(self, z_sym):
@@ -76,7 +75,6 @@ class _HyperCoder(nn.Module):
         return means, idx
 
     def encode_y_symbols(self, y, means):
-        from .context import _sym16
         return _sym16(y - means)
 
     def dequant_y(self, y_sym, means):

@@ -47,8 +47,16 @@ def _ssim_components(a, b, max_val=1.0):
     return jnp.mean(l_term * cs), jnp.mean(cs)
 
 
-def msssim(a, b, max_val: float = 1.0) -> float:
-    """Multi-scale SSIM (5 levels, standard weights) on (B, H, W, C)."""
+def msssim_value(a, b, max_val: float = 1.0):
+    """Multi-scale SSIM (5 levels, standard weights) on (B, H, W, C).
+
+    Jittable: returns a scalar jnp array (see `msssim` for the float
+    convenience wrapper). Requires min(H, W) >= 176 (the 11x11 window
+    must fit at the coarsest of the 5 scales)."""
+    if min(a.shape[1], a.shape[2]) < 11 * 2 ** 4:
+        raise ValueError(
+            f"MS-SSIM needs min(H, W) >= {11 * 2 ** 4}; got "
+            f"{a.shape[1]}x{a.shape[2]}")
     weights = jnp.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -64,7 +72,12 @@ def msssim(a, b, max_val: float = 1.0) -> float:
                 b, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) * 0.25
     vals = jnp.stack([jnp.maximum(v, 0.0) for v in vals])
-    return float(jnp.prod(vals ** weights))
+    return jnp.prod(vals ** weights)
+
+
+def msssim(a, b, max_val: float = 1.0) -> float:
+    """Float-returning convenience wrapper over msssim_value."""
+    return float(msssim_value(a, b, max_val))
 
 
 class AverageMeter:
