@@ -31,6 +31,10 @@ def parse_args(argv=None):
                         "(byte-identical bitstreams)")
     p.add_argument("--msssim", action="store_true",
                    help="also record MS-SSIM per sequence (serial path)")
+    p.add_argument("--streams", type=int, default=1,
+                   help="evaluate N sequences concurrently (same "
+                        "bitstreams/metrics; overlaps host coding with "
+                        "device compute across sequences)")
     p.add_argument("--frames-root", required=True,
                    help="dir of sequence dirs, each holding *.png frames")
     p.add_argument("--checkpoint", type=str, default=None,
@@ -56,6 +60,7 @@ def main(argv=None):
     from ..eval.codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
     from ..eval.evaluator import evaluate_video, load_png_frames
     from ..eval.pipeline import code_sequence_pipelined
+    from ..eval.multi import evaluate_sequences_parallel
     from ..utils import (setup_logger, restore_checkpoint, latest_step,
                          restore_params_export)
 
@@ -122,6 +127,33 @@ def main(argv=None):
 
     for q in args.qualities:
         agg_bpp, agg_psnr = [], []
+        if args.streams > 1:
+            if args.msssim or args.pipelined:
+                raise SystemExit(
+                    "--streams is exclusive with --msssim/--pipelined")
+            tag = (f"{args.dataset_name}-{args.model}-q{q}-gop{args.gop}"
+                   f"-num{args.frames}")
+            seqs = [
+                (str(seq), load_png_frames(seq, args.frames),
+                 Path(args.cache_dir) / tag / f"{seq.stem}.bits")
+                for seq in seq_dirs
+            ]
+            all_stats = evaluate_sequences_parallel(
+                inter_codec, intra_codec, seqs, gop=args.gop,
+                streams=args.streams,
+                results_path=results_dir / f"q{q}.json", quality=q)
+            for stats in all_stats:
+                agg_bpp.append(stats["bpp"])
+                agg_psnr.append(stats["psnr"])
+                logging.info(
+                    "q=%d %s: bpp=%.4f psnr=%.2f (%.1fs, %d frames)",
+                    q, Path(stats["video"]).stem, stats["bpp"],
+                    stats["psnr"], stats["seconds"], stats["frames"])
+            logging.info(
+                "\x1b[92mq=%d dataset avg: bpp=%.4f psnr=%.2f over %d "
+                "seqs\x1b[0m", q, float(np.mean(agg_bpp)),
+                float(np.mean(agg_psnr)), len(seq_dirs))
+            continue
         for seq in seq_dirs:
             tag = (f"{args.dataset_name}-{args.model}-q{q}-gop{args.gop}"
                    f"-num{args.frames}")

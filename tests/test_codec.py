@@ -219,3 +219,31 @@ class TestPipelinedCoding:
         assert sb == pb
         assert abs(serial["psnr"] - piped["psnr"]) < 1e-9
         assert serial["frames"] == piped["frames"] == 6
+
+
+class TestParallelEvaluation:
+    def test_parallel_matches_serial_bitstream(
+            self, dmc_codec, intra_codec, tmp_path):
+        """evaluate_sequences_parallel must write byte-identical .bits and
+        matching metrics vs the serial evaluator (schedule-only change)."""
+        from deepvideocodec_tpu.eval.multi import evaluate_sequences_parallel
+
+        def seq(seed):
+            return _synthetic_frames(5, seed=seed)
+
+        serial = {}
+        for s in (3, 9):
+            serial[s] = evaluate_video(
+                dmc_codec, intra_codec, seq(s),
+                bits_path=tmp_path / f"serial_{s}.bits", gop=4)
+
+        stats = evaluate_sequences_parallel(
+            dmc_codec, intra_codec,
+            [(f"s{s}", seq(s), tmp_path / f"par_{s}.bits") for s in (3, 9)],
+            gop=4, streams=2)
+
+        for s, st in zip((3, 9), stats):
+            assert (tmp_path / f"par_{s}.bits").read_bytes() == \
+                (tmp_path / f"serial_{s}.bits").read_bytes()
+            assert abs(st["psnr"] - serial[s]["psnr"]) < 1e-9
+            assert st["bpp"] == serial[s]["bpp"]
