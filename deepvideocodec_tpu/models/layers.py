@@ -341,7 +341,11 @@ class SpyNet(nn.Module):
 
     @nn.compact
     def __call__(self, im1, im2):
-        pyr1, pyr2 = [im1], [im2]
+        # pyramids in the compute dtype: the per-level warps are
+        # byte-count-sensitive gathers and MEBasic consumes the compute
+        # dtype anyway (flow values themselves stay f32 throughout)
+        cd = get_compute_dtype()
+        pyr1, pyr2 = [im1.astype(cd)], [im2.astype(cd)]
         for _ in range(self.levels - 1):
             pyr1.append(avg_pool_2x2(pyr1[-1]))
             pyr2.append(avg_pool_2x2(pyr2[-1]))
@@ -352,7 +356,8 @@ class SpyNet(nn.Module):
             flow_up = bilinear_upsample_x2(flow) * 2.0
             i = self.levels - 1 - level
             inp = jnp.concatenate(
-                [pyr1[i], flow_warp(pyr2[i], flow_up), flow_up], axis=-1)
+                [pyr1[i], flow_warp(pyr2[i], flow_up),
+                 flow_up.astype(cd)], axis=-1)
             # phase-space conv pays off once the level is large enough to
             # be lane-bound (the two finest levels at 1080p)
             use_phase = inp.shape[1] * inp.shape[2] >= 500_000
