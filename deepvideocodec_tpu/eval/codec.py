@@ -16,7 +16,7 @@ host (`update()` in the reference, video_model.py:665-679) -> stream frames.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,16 +146,6 @@ class _CodedLatent:
     def __init__(self, gauss_table: CdfTable, z_table: CdfTable):
         self.gauss = gauss_table
         self.z = z_table
-
-    def encode(self, unit: Dict[str, Any]) -> Tuple[List[bytes], Tuple[int, int]]:
-        z_sym = _np(unit["z_sym"])
-        y0 = rans.encode_with_indexes(_np(unit["q0"]), _np(unit["i0"]),
-                                      self.gauss)
-        y1 = rans.encode_with_indexes(_np(unit["q1"]), _np(unit["i1"]),
-                                      self.gauss)
-        zs = rans.encode_with_indexes(
-            z_sym, _channel_indexes(z_sym.shape), self.z)
-        return [y0, y1, zs], (z_sym.shape[1], z_sym.shape[2])
 
     def decode_z(self, data: bytes, shape: Tuple[int, int],
                  channels: int) -> np.ndarray:

@@ -408,9 +408,6 @@ class DMC(nn.Module):
         return self.motion_context_model.decode_nonanchor_stage(
             y_quant_r0, means, scales)
 
-    def decode_motion_combine(self, yh_00, yh_11, nm_0, nm_1, y_quant_r1):
-        return self.motion_context_model.decode_combine_stage(
-            yh_00, yh_11, nm_0, nm_1, y_quant_r1)
 
     def decode_contexts(self, y_mv_hat, dpb, first_p: bool):
         """Motion decode -> warped contexts (device stage between streams)."""
@@ -446,9 +443,6 @@ class DMC(nn.Module):
         return self.frame_context_model.decode_nonanchor_stage(
             y_quant_r0, means, scales)
 
-    def decode_frame_combine(self, yh_00, yh_11, nm_0, nm_1, y_quant_r1):
-        return self.frame_context_model.decode_combine_stage(
-            yh_00, yh_11, nm_0, nm_1, y_quant_r1)
 
     def decode_reconstruct(self, y_hat, y_mv_hat, c1, c2, c3):
         """Final device stage: synthesis + recon, returns (x_rec, new_dpb)."""
