@@ -36,7 +36,7 @@ def main():
     import numpy as np
 
     from deepvideocodec_tpu.models import DMC, fast_init
-    from deepvideocodec_tpu.models.dmc import DMCConfig, empty_dpb
+    from deepvideocodec_tpu.models.dmc import DMCConfig
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
     from deepvideocodec_tpu.eval.evaluator import pad_to_multiple
@@ -51,10 +51,22 @@ def main():
     # see docs/PERFORMANCE.md link cost model).
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
+    # BENCH_MODEL selects the codec family (dmc is the flagship/default;
+    # dvc and dcvc share the identical streaming-codec driver API).
+    model_name = os.environ.get("BENCH_MODEL", "dmc")
     key = jax.random.PRNGKey(0)
-    model = DMC(cfg=DMCConfig(dtype=dtype))
+    if model_name == "dmc":
+        model = DMC(cfg=DMCConfig(dtype=dtype))
+        codec_cls = DmcCodec
+    else:
+        from deepvideocodec_tpu.models import DVC, DCVC
+        from deepvideocodec_tpu.eval.codec import DvcCodec, DcvcCodec
+
+        model = (DVC(dtype=dtype) if model_name == "dvc"
+                 else DCVC(dtype=dtype))
+        codec_cls = DvcCodec if model_name == "dvc" else DcvcCodec
     params = jax.block_until_ready(fast_init(model, key))
-    codec = DmcCodec(model, params)
+    codec = codec_cls(model, params)
 
     # 8-bit source frames converted to float on device. Default ingestion
     # is YUV 4:2:0 — the production video delivery format — packed into
@@ -88,8 +100,7 @@ def main():
         frames_u8 = rgb_u8
         to_f32 = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
 
-    dpb = empty_dpb(1, Hp, Wp, model.cfg)
-    dpb["x_ref"] = to_f32(jnp.asarray(frames_u8[0]))
+    dpb = codec.init_dpb(to_f32(jnp.asarray(frames_u8[0])))
 
     # warmup / compile both first_p variants of every program
     pl, dpb1 = codec.encode_device(to_f32(jnp.asarray(frames_u8[1])), dpb,
@@ -176,7 +187,7 @@ def main():
 
     fps = n_frames * n_streams / elapsed
     print(json.dumps({
-        "metric": "1080p DMC enc+dec frames/sec/chip (real bitstream)",
+        "metric": f"1080p {model_name.upper()} enc+dec frames/sec/chip (real bitstream)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -56,7 +56,7 @@ class ConditionalEncoder(nn.Module):
         for _ in range(3):
             f = leaky_relu(conv(self.n, 3, 2)(f), 0.1)
             f = ResBlock(self.n)(f)
-        return conv(self.m, 3, 2)(f)
+        return conv(self.m, 3, 2, dtype=jnp.float32)(f)  # latent: f32
 
 
 class ConditionalDecoder(nn.Module):
@@ -73,7 +73,7 @@ class ConditionalDecoder(nn.Module):
         f = SubpelConv(self.n, 2)(f)
         f = jnp.concatenate([f, context], axis=-1)
         f = ResBlock(self.n * 2)(f)
-        return conv(3)(f)
+        return conv(3, dtype=jnp.float32)(f)  # pixels: f32
 
 
 class _ContextualCoder(nn.Module):
@@ -88,7 +88,8 @@ class _ContextualCoder(nn.Module):
         self.hyper_decoder = HyperDecoder(self.y_channels)
         self.entropy_bottleneck = FactorizedEntropyBottleneck(self.z_channels)
         self.temporal_prior_encoder = TemporalPriorEncoder(self.y_channels)
-        self.fusion = conv(self.y_channels * 2, 3)
+        # means/scales head: entropy math stays f32
+        self.fusion = conv(self.y_channels * 2, 3, dtype=jnp.float32)
 
     def __call__(self, y, context_small, training: bool = False):
         z = self.hyper_encoder(y)
@@ -137,9 +138,11 @@ class DCVC(nn.Module):
     n: int = 64
     m: int = 96
 
+    dtype: str = "float32"
+
     def setup(self):
         from .layers import set_compute_dtype
-        set_compute_dtype("float32")
+        set_compute_dtype(self.dtype)
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(out_channels=2,
                                               channels=self.ch_mv)

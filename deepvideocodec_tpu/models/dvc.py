@@ -95,7 +95,7 @@ class MotionCompensationNet(nn.Module):
         inp = jnp.concatenate([x_ref, x_warp, mv], axis=-1)
         f = leaky_relu(conv(self.channels)(inp), 0.1)
         f = UNet(self.channels, self.unet_width)(f)
-        return x_warp + conv(3)(f)
+        return x_warp + conv(3, dtype=jnp.float32)(f)  # pixels: f32
 
 
 class DVC(nn.Module):
@@ -105,10 +105,13 @@ class DVC(nn.Module):
     ch_res: int = 96
     n: int = 64
     unet_width: int = 32
+    # bf16 interiors supported like DMC: latents/flow/priors/pixels stay
+    # f32 via the layer-level pins
+    dtype: str = "float32"
 
     def setup(self):
         from .layers import set_compute_dtype
-        set_compute_dtype("float32")
+        set_compute_dtype(self.dtype)
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(out_channels=2,
                                               channels=self.ch_mv)

@@ -441,4 +441,6 @@ class HyperDecoder(nn.Module):
         y = leaky_relu(SubpelConv(self.y_channels, 2, kernel=1)(y))
         y = leaky_relu(conv(self.y_channels * 3 // 2)(y))
         y = leaky_relu(SubpelConv(self.y_channels * 3 // 2, 2, kernel=1)(y))
-        return conv(self.y_channels * 2)(y)
+        # output feeds prior means/scales (directly in the DVC/DCVC heads):
+        # entropy math stays f32
+        return conv(self.y_channels * 2, dtype=jnp.float32)(y)

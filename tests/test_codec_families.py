@@ -24,16 +24,18 @@ def _frames(n, h=64, w=64, seed=5):
     return out
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize(
     "model_cls,codec_cls",
     [(DVC, DvcCodec), (DCVC, DcvcCodec)],
     ids=["dvc", "dcvc"],
 )
-def test_family_roundtrip_bit_exact(model_cls, codec_cls):
+def test_family_roundtrip_bit_exact(model_cls, codec_cls, dtype):
     if model_cls is DVC:
-        model = model_cls(ch_mv=16, ch_res=24, n=16, unet_width=16)
+        model = model_cls(ch_mv=16, ch_res=24, n=16, unet_width=16,
+                          dtype=dtype)
     else:
-        model = model_cls(ch_mv=16, n=16, m=24)
+        model = model_cls(ch_mv=16, n=16, m=24, dtype=dtype)
     frames = _frames(3)
     clip = jnp.asarray(np.concatenate(frames)[None].reshape(1, 3, 64, 64, 3))
     params = fast_init(model, KEY)
