@@ -110,8 +110,11 @@ class FactorizedImageCodec(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: str = "float32"
 
     def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype(self.dtype)
         self.g_a = AnalysisTransform(self.n, self.m)
         self.g_s = SynthesisTransform(self.n)
         self.entropy_bottleneck = FactorizedEntropyBottleneck(self.m)
@@ -148,8 +151,11 @@ class HyperpriorImageCodec(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: str = "float32"
 
     def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype(self.dtype)
         self.g_a = AnalysisTransform(self.n, self.m)
         self.g_s = SynthesisTransform(self.n)
         self.h_a = _HyperAnalysis(self.n)
@@ -256,8 +262,11 @@ class CheckerboardImageCodec(nn.Module):
 
     n: int = 128
     m: int = 192
+    dtype: str = "float32"
 
     def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype(self.dtype)
         self.g_a = ResidualAnalysis(self.n, self.m)
         self.g_s = ResidualSynthesis(self.n)
         self.context_model = IntraContextModel(

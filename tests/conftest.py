@@ -39,3 +39,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """The codec-wide compute dtype is a module global set by each model's
+    setup(); a bf16-model test must not leak bf16 into later tests that
+    build bare layers (e.g. the torch golden tests)."""
+    from deepvideocodec_tpu.models.layers import set_compute_dtype
+
+    set_compute_dtype("float32")
+    yield
+    set_compute_dtype("float32")
