@@ -247,3 +247,19 @@ class TestParallelEvaluation:
                 (tmp_path / f"serial_{s}.bits").read_bytes()
             assert abs(st["psnr"] - serial[s]["psnr"]) < 1e-9
             assert st["bpp"] == serial[s]["bpp"]
+
+
+class TestOddResolution:
+    def test_non_multiple_of_64_end_to_end(self, dmc_codec, intra_codec,
+                                           tmp_path):
+        """Frames that need center padding (reference pad/crop semantics,
+        test.py:75-103) must code and measure correctly."""
+        frames = _synthetic_frames(4, h=72, w=100)
+        stats = evaluate_video(
+            dmc_codec, intra_codec, frames,
+            bits_path=tmp_path / "odd.bits", gop=4)
+        assert stats["frames"] == 4
+        # bpp accounted over the TRUE (un-padded) pixel count
+        nbits = (tmp_path / "odd.bits").stat().st_size * 8
+        assert abs(stats["bpp"] - nbits / (72 * 100 * 4)) < 1e-9
+        assert np.isfinite(stats["psnr"])
