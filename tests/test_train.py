@@ -195,3 +195,25 @@ class TestIntraTraining:
         before = jax.tree_util.tree_leaves(params)[0]
         after = jax.tree_util.tree_leaves(state["params"])[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestFamilyTrainSteps:
+    @pytest.mark.parametrize("family", ["dvc", "dcvc"])
+    def test_family_e2e_step_updates_and_is_finite(self, family):
+        """DVC/DCVC ride the same trainer (stage flags are no-ops for
+        them); one end-to-end RD step must move params with finite loss."""
+        from deepvideocodec_tpu.models import DVC, DCVC
+
+        model = (DVC(ch_mv=16, ch_res=24, n=16, unet_width=16)
+                 if family == "dvc" else DCVC(ch_mv=16, n=16, m=24))
+        batch = jax.random.uniform(KEY, (2, 3, 64, 64, 3))
+        state = create_train_state(model, KEY, batch[:1],
+                                   learning_rate=1e-4)
+        stage = stage_for_epoch(40)
+        step = make_train_step(model, stage, lmbda=2048.0)
+        new_state, metrics = step(state, batch, KEY)
+        assert np.isfinite(float(metrics["loss"]))
+        leaves_a = jax.tree.leaves(state.params)
+        leaves_b = jax.tree.leaves(new_state.params)
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(leaves_a, leaves_b))
