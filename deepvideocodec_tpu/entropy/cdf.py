@@ -51,6 +51,12 @@ class CdfTable:
             self.quantized_cdf, np.int32)
         self.cdf_length = np.ascontiguousarray(self.cdf_length, np.int32)
         self.offset = np.ascontiguousarray(self.offset, np.int32)
+        # Immutable by contract: the native coder caches acceleration
+        # tables per CdfTable instance (entropy/rans.py:_coder_tables);
+        # in-place mutation would silently desync them. Rebuild a fresh
+        # CdfTable instead of editing one (update()-style refreshes do).
+        for a in (self.quantized_cdf, self.cdf_length, self.offset):
+            a.flags.writeable = False
 
 
 def pmf_to_quantized_cdf(

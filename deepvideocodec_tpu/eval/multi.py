@@ -80,6 +80,9 @@ class _SeqWorker:
                     self.mses.append(device_mse(x_pad, rec_pad,
                                                 (self.h, self.w)))
                     self.n += 1
+            if self.n == 0:
+                raise ValueError(
+                    f"sequence for {self.bits_path} yielded no frames")
             jax.block_until_ready(self.mses[-1])
         except BaseException as e:  # surfaced in join()
             self.error = e

@@ -43,20 +43,23 @@ codec_bias_init = nn.initializers.constant(0.01)
 # Codec-wide computation dtype for conv/dense interiors. Mixed precision,
 # TPU-style: bf16 doubles MXU throughput and halves activation HBM/gather
 # traffic; everything precision-critical stays f32 — latents at the
-# quantizer, flow fields, prior means/scales, entropy math, recon output —
+# quantizer, flow fields, prior means/scales, entropy math, recon pixels —
 # via dtype=jnp.float32 pins at those boundary layers. Set per-model from
 # its config in setup() (trace-time, so each jitted program bakes the
-# right dtype).
-_COMPUTE_DTYPE = jnp.float32
+# right dtype). Thread-local: the eval/bench paths trace programs from
+# several worker threads, and two models with different dtypes (e.g. bf16
+# inter + f32 intra) must not see each other's value mid-trace.
+import threading as _threading
+
+_DTYPE_TLS = _threading.local()
 
 
 def set_compute_dtype(dtype) -> None:
-    global _COMPUTE_DTYPE
-    _COMPUTE_DTYPE = jnp.float32 if dtype is None else jnp.dtype(dtype)
+    _DTYPE_TLS.value = jnp.float32 if dtype is None else jnp.dtype(dtype)
 
 
 def get_compute_dtype():
-    return _COMPUTE_DTYPE
+    return getattr(_DTYPE_TLS, "value", jnp.float32)
 
 
 def conv(features: int, kernel: int = 3, stride: int = 1,
@@ -74,7 +77,7 @@ def conv(features: int, kernel: int = 3, stride: int = 1,
         padding=((p, p), (p, p)),
         kernel_init=codec_kernel_init,
         bias_init=codec_bias_init,
-        dtype=_COMPUTE_DTYPE if dtype is None else dtype,
+        dtype=get_compute_dtype() if dtype is None else dtype,
     )
 
 
