@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--save", action="store_true", default=True)
     p.add_argument("--checkpoint", type=str, help="resume directory")
     p.add_argument("--lr-milestones", type=int, nargs="*", default=[300])
+    p.add_argument("--log-every", type=int, default=100,
+                   help="log train metrics every N steps")
     p.add_argument("--intra-checkpoint", type=str, default=None,
                    help="trained intra codec ckpt for the epoch>=50 stage")
     return p.parse_args(argv)
@@ -90,8 +92,14 @@ def main(argv=None):
         args.dataset, split="test", max_frames=args.max_frames,
         crop_size=tuple(args.patch_size), rnd_interval=False,
         rnd_temp_order=False, random_crop=False, seed=seed)
+    # Multi-host: each process loads only its deterministic slice of the
+    # global batch (the shuffle is a pure function of (seed, epoch) so all
+    # hosts derive one global order); device_put_batch assembles the
+    # global sharded array from the per-process locals.
     train_loader = Loader(train_ds, args.batch_size, shuffle=True,
-                          num_workers=args.num_workers, seed=seed)
+                          num_workers=args.num_workers, seed=seed,
+                          num_shards=jax.process_count(),
+                          shard_index=jax.process_index())
     test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
                          num_workers=args.num_workers, drop_last=False)
 
@@ -117,7 +125,14 @@ def main(argv=None):
 
     intra_model = intra_params = None
     if args.intra_checkpoint:
-        intra_model = CheckerboardImageCodec()
+        # -q selects the intra operating point (reference
+        # cheng2020_anchor(q) slot — train.py:564-569)
+        from ..models import INTRA_QUALITIES, intra_model_for_quality
+
+        if args.quality in INTRA_QUALITIES:
+            intra_model, _ = intra_model_for_quality(args.quality)
+        else:
+            intra_model = CheckerboardImageCodec()
         from ..models import fast_init
         from ..utils import restore_params_export
         intra_params = fast_init(intra_model, rng)
@@ -161,14 +176,16 @@ def main(argv=None):
             batch = device_put_batch(jnp.asarray(batch), mesh)
             state, metrics = train_step(state, batch, rng)
             seen += batch.shape[0]
-            if (i * args.batch_size) % 5000 == 0:
+            if i % args.log_every == 0:
+                lr = float(schedule(int(state.step) - 1))
                 logging.info(
                     "epoch %d [%d/%d] stage=%s loss=%.4f mse=%.6f "
-                    "bpp=%.4f aux=%.1f",
+                    "bpp=%.4f aux=%.1f gnorm=%.3g lr=%.2e",
                     epoch, seen, len(train_ds), stage.name,
                     float(metrics["loss"]), float(metrics["mse_loss"]),
                     float(metrics["bpp_loss"]),
-                    float(metrics["aux_loss"]))
+                    float(metrics["aux_loss"]),
+                    float(metrics["grad_norm"]), lr)
 
         meters = {k: AverageMeter()
                   for k in ("loss", "mse_loss", "bpp_loss", "aux_loss")}

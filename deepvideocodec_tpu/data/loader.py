@@ -5,6 +5,13 @@ decode is the bottleneck and releases the GIL inside PIL/zlib), batch
 stacking, and a bounded prefetch queue so host IO overlaps device compute —
 the TPU-side equivalent of the reference's DataLoader(num_workers=8)
 (/root/reference/dmc/train.py:547-554).
+
+Multi-host determinism: the epoch shuffle is a pure function of
+(seed, epoch), NOT of a mutating per-process RNG stream, so every host
+derives the SAME global order. With `num_shards`/`shard_index` set, each
+host loads only its contiguous slice of every global batch; the slices
+concatenated in shard order are exactly the single-host global batch
+(the contract `parallel.local_batch_slice` consumers rely on).
 """
 
 from __future__ import annotations
@@ -27,14 +34,29 @@ class Loader:
         drop_last: bool = True,
         prefetch: int = 2,
         seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} out of range "
+                             f"for num_shards {num_shards}")
+        if num_shards > 1 and batch_size % num_shards != 0:
+            raise ValueError("num_shards must divide the global batch_size")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self._epoch_rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch used for the next iteration's shuffle (otherwise
+        epochs auto-increment after each completed iteration)."""
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -42,17 +64,32 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[np.ndarray]:
+    def _global_batches(self, epoch: int):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._epoch_rng.shuffle(order)
-
+            # seeded by (seed, epoch): identical on every host, distinct
+            # per epoch (the reference reshuffles per epoch via the
+            # DataLoader sampler).
+            np.random.default_rng([self.seed, epoch]).shuffle(order)
         batches = [
             order[i:i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        epoch, self.epoch = self.epoch, self.epoch + 1
+        batches = self._global_batches(epoch)
+        if self.num_shards > 1:
+            per = self.batch_size // self.num_shards
+            lo = self.shard_index * per
+            # the trailing non-full batch (drop_last=False) is sliced by
+            # the same proportional rule so shards stay disjoint
+            batches = [b[min(lo, len(b)):min(lo + per, len(b))]
+                       for b in batches]
+            batches = [b for b in batches if len(b)]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

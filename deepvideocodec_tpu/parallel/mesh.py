@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.trainer import TrainState
@@ -117,6 +118,7 @@ def make_parallel_train_step(
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
             loss_fn, has_aux=True)(state.params, batch, noise_rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
@@ -128,5 +130,15 @@ def make_parallel_train_step(
 
 
 def device_put_batch(batch, mesh: Mesh):
-    """Place a host batch sharded across the data axis."""
-    return jax.device_put(batch, shard_batch(mesh))
+    """Place a host batch sharded across the data axis.
+
+    Single-host: `batch` is the global batch. Multi-host: `batch` is this
+    process's shard (fed by a Loader constructed with
+    num_shards=process_count, shard_index=process_index — deterministic
+    disjoint slices of one global order) and the global array is assembled
+    from the per-process locals.
+    """
+    sharding = shard_batch(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)

@@ -115,6 +115,7 @@ def make_train_step(
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
             loss_fn, has_aux=True)(state.params, batch, noise_rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

@@ -119,3 +119,51 @@ def test_synthetic_batch():
     b = synthetic_clip_batch(2, 3, 64, 64)
     assert b.shape == (2, 3, 64, 64, 3)
     assert b.min() >= 0 and b.max() <= 1
+
+
+class _IdxDataset:
+    """Items are index-stamped so loader order is directly observable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2,), i, np.int64)
+
+
+class TestLoaderSharding:
+    """Multi-host contract: the epoch shuffle is a pure function of
+    (seed, epoch), and per-process shards tile the global batch exactly
+    (VERDICT weak #5 — per-process RNG streams would silently diverge)."""
+
+    def test_deterministic_epoch_order_across_processes(self):
+        ds = _IdxDataset(16)
+        a = Loader(ds, 4, shuffle=True, seed=7, num_workers=1)
+        b = Loader(ds, 4, shuffle=True, seed=7, num_workers=1)
+        ea0 = np.stack(list(a))  # epoch 0 (auto-increments after)
+        eb0 = np.stack(list(b))
+        np.testing.assert_array_equal(ea0, eb0)
+        ea1 = np.stack(list(a))  # epoch 1
+        assert not np.array_equal(ea0, ea1)
+        b.set_epoch(1)
+        np.testing.assert_array_equal(ea1, np.stack(list(b)))
+
+    def test_two_process_shards_tile_the_global_batch(self):
+        ds = _IdxDataset(17)
+        mk = lambda **kw: Loader(ds, 4, shuffle=True, seed=3,
+                                 num_workers=1, **kw)
+        for gb, b0, b1 in zip(list(mk()), list(mk(num_shards=2,
+                                                  shard_index=0)),
+                              list(mk(num_shards=2, shard_index=1))):
+            np.testing.assert_array_equal(gb, np.concatenate([b0, b1]))
+
+    def test_shard_validation(self):
+        ds = _IdxDataset(8)
+        import pytest
+        with pytest.raises(ValueError):
+            Loader(ds, 4, num_shards=3)  # 3 does not divide 4
+        with pytest.raises(ValueError):
+            Loader(ds, 4, num_shards=2, shard_index=2)
