@@ -217,3 +217,57 @@ class TestFamilyTrainSteps:
         leaves_b = jax.tree.leaves(new_state.params)
         assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                    for a, b in zip(leaves_a, leaves_b))
+
+
+class TestCurriculumBoundariesAndResume:
+    """One TrainState threaded through stage boundaries with an Orbax
+    save/restore in the middle — the reference switches graphs at epochs
+    10/20/30/40/50 with ONE optimizer state (train.py:285-346, 589-596);
+    nothing may reset when the compiled step changes (VERDICT missing #4)."""
+
+    def test_state_threads_across_boundaries_with_resume(self, tmp_path):
+        from deepvideocodec_tpu.utils import (save_checkpoint,
+                                              restore_checkpoint,
+                                              latest_step)
+
+        model = DMC(cfg=SMALL)
+        batch = jax.random.uniform(KEY, (2, 3, 64, 64, 3))
+        state = create_train_state(model, KEY, batch[:1],
+                                   learning_rate=1e-4)
+
+        # stage A (motion_rd) then stage B (frame_mse): same TrainState
+        for epoch in (10, 20):
+            step = make_train_step(model, stage_for_epoch(epoch),
+                                   lmbda=2048.0)
+            for _ in range(2):
+                state, metrics = step(state, batch, KEY)
+                assert np.isfinite(float(metrics["loss"]))
+                # grad_norm may legitimately overflow to inf at the
+                # random-init RD spike (loss ~1e20; the overflow-proof
+                # clip handles it) — only NaN would indicate a bug
+                assert not np.isnan(float(metrics["grad_norm"]))
+        assert int(state.step) == 4
+
+        # Orbax save / restore in the middle of the curriculum
+        save_checkpoint(tmp_path, int(state.step), state)
+        assert latest_step(tmp_path) == 4
+        fresh = create_train_state(model, KEY, batch[:1],
+                                   learning_rate=1e-4)
+        restored = restore_checkpoint(tmp_path, 4, fresh)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # cross the next boundary (e2e_rd) from the RESTORED state
+        step = make_train_step(model, stage_for_epoch(40), lmbda=2048.0)
+        state2, m = step(restored, batch, KEY)
+        assert np.isfinite(float(m["loss"]))
+        assert int(state2.step) == 5
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(restored.params),
+                            jax.tree.leaves(state2.params)))
+        assert moved
