@@ -104,28 +104,58 @@ def main(argv=None):
         params = state.params
         logging.info("loaded inter ckpt step %d", step)
 
-    intra_model = CheckerboardImageCodec()
-    intra_params = fast_init(intra_model, rng)
-    if args.intra_checkpoint:
-        restored = restore_params_export(args.intra_checkpoint, intra_params)
-        if restored is not None:
-            intra_params = restored
-            logging.info("loaded intra params export")
+    def build_intra_codec(q: int) -> IntraCodec:
+        """Per-quality intra codec: -q maps to a (n, m, lambda) operating
+        point (models.intra.INTRA_QUALITIES — the reference's
+        cheng2020_anchor(q) slot). --intra-checkpoint may contain a {q}
+        placeholder (e.g. ckpts/intra_q{q}) resolved per quality."""
+        from ..models import INTRA_QUALITIES, intra_model_for_quality
+
+        if q in INTRA_QUALITIES:
+            intra_model, _ = intra_model_for_quality(q)
         else:
-            istep = latest_step(args.intra_checkpoint)
-            if istep is None:
-                raise FileNotFoundError(
-                    f"no intra export/checkpoints under "
-                    f"{args.intra_checkpoint}")
-            intra_params = restore_checkpoint(
-                args.intra_checkpoint, istep, intra_params)
-            logging.info("loaded intra ckpt step %d", istep)
+            intra_model = CheckerboardImageCodec()
+        intra_params = fast_init(intra_model, rng)
+        if args.intra_checkpoint:
+            path = args.intra_checkpoint.format(q=q)
+            restored = restore_params_export(path, intra_params)
+            if restored is not None:
+                intra_params = restored
+                logging.info("q=%d: loaded intra params export", q)
+            else:
+                istep = latest_step(path)
+                if istep is None:
+                    raise FileNotFoundError(
+                        f"no intra export/checkpoints under {path}")
+                intra_params = restore_checkpoint(path, istep, intra_params)
+                logging.info("q=%d: loaded intra ckpt step %d", q, istep)
+        return IntraCodec(intra_model, intra_params)
+
+    untrained = []
+    if args.model != "intra" and not args.checkpoint:
+        untrained.append(args.model)
+    if not args.intra_checkpoint:
+        untrained.append("intra")
+    if untrained:
+        logging.warning(
+            "\x1b[91mUNTRAINED RANDOM-INIT WEIGHTS for %s — results are "
+            "smoke-test only, NOT reportable RD numbers (pass "
+            "--checkpoint/--intra-checkpoint)\x1b[0m",
+            ", ".join(untrained))
 
     inter_codec = (None if args.model == "intra"
                    else codec_cls(model, params))
-    intra_codec = IntraCodec(intra_model, intra_params)
+
+    from ..eval.evaluator import append_result
 
     for q in args.qualities:
+        intra_codec = build_intra_codec(q)
+        if untrained:
+            # loud marker inside the results file itself so the numbers
+            # can't be mistaken for trained RD points downstream
+            append_result(results_dir / f"q{q}.json",
+                          {"warning": "untrained_random_init",
+                           "models": list(untrained), "quality": q})
         agg_bpp, agg_psnr = [], []
         if args.streams > 1:
             if args.msssim or args.pipelined:

@@ -28,6 +28,11 @@ def parse_args(argv=None):
                    help="root with {train,test}/*.png")
     p.add_argument("-m", "--model", default="checkerboard",
                    choices=["checkerboard", "hyperprior", "factorized"])
+    p.add_argument("-q", "--quality", type=int, default=None,
+                   help="quality operating point: sets (n, m, lambda) from "
+                        "models.intra.INTRA_QUALITIES (the reference's "
+                        "cheng2020_anchor(q) slot) and names the run dir "
+                        "intra_q{q}; overrides --lambda")
     p.add_argument("-e", "--epochs", type=int, default=100)
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
     p.add_argument("--aux-learning-rate", type=float, default=1e-3)
@@ -116,7 +121,17 @@ def main(argv=None):
                          restore_checkpoint, latest_step,
                          save_params_export)
 
-    base_dir = Path("checkpoints") / f"intra_{args.model}" / f"{args.lmbda}"
+    if args.quality is not None:
+        from ..models.intra import INTRA_QUALITIES
+
+        if args.model != "checkerboard":
+            raise SystemExit("-q ladder is defined for the checkerboard "
+                             "(cheng-class) intra codec")
+        _, _, args.lmbda = INTRA_QUALITIES[args.quality]
+        base_dir = Path("checkpoints") / f"intra_q{args.quality}"
+    else:
+        base_dir = (Path("checkpoints") / f"intra_{args.model}"
+                    / f"{args.lmbda}")
     base_dir.mkdir(parents=True, exist_ok=True)
     setup_logger(base_dir / f"train_{args.name}.log")
 
@@ -131,7 +146,12 @@ def main(argv=None):
     test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
                          num_workers=args.num_workers, drop_last=False)
 
-    model = build_model(args.model)
+    if args.quality is not None:
+        from ..models import intra_model_for_quality
+
+        model, _ = intra_model_for_quality(args.quality)
+    else:
+        model = build_model(args.model)
     params = fast_init(model, rng)
     tx = make_optimizer(args.learning_rate, args.aux_learning_rate,
                         args.clip_max_norm)

@@ -14,6 +14,8 @@ from .intra import (
     FactorizedImageCodec,
     HyperpriorImageCodec,
     CheckerboardImageCodec,
+    INTRA_QUALITIES,
+    intra_model_for_quality,
 )
 from .dvc import DVC
 from .dcvc import DCVC
@@ -25,6 +27,8 @@ __all__ = [
     "FactorizedImageCodec",
     "HyperpriorImageCodec",
     "CheckerboardImageCodec",
+    "INTRA_QUALITIES",
+    "intra_model_for_quality",
     "DVC",
     "DCVC",
 ]

@@ -319,3 +319,30 @@ class CheckerboardImageCodec(nn.Module):
 
     def aux_loss(self):
         return self.context_model.aux_loss()
+
+
+# Quality ladder. The reference maps its -q flag to CompressAI's pretrained
+# cheng2020_anchor(quality, pretrained=True) (/root/reference/dmc/train.py:
+# 564-569, test.py:108-110). This framework ships no external zoo, so -q
+# maps to concrete (n, m, lambda) operating points for CheckerboardImageCodec
+# trained by cli.train_intra: widths follow cheng2020's two-tier scheme
+# (smaller transforms at low rates), lambda is the standard CompressAI MSE
+# ladder scaled by 255^2 (this codebase's unscaled-pixel MSE convention,
+# train/loss.py).
+INTRA_QUALITIES = {
+    1: (96, 128, 117.0),
+    2: (96, 128, 228.0),
+    3: (96, 128, 436.0),
+    4: (128, 192, 845.0),
+    5: (128, 192, 1625.0),
+    6: (128, 192, 3140.0),
+}
+
+
+def intra_model_for_quality(q: int, dtype: str = "float32"):
+    """(CheckerboardImageCodec, lambda) for one -q operating point."""
+    if q not in INTRA_QUALITIES:
+        raise ValueError(
+            f"intra quality {q} not in {sorted(INTRA_QUALITIES)}")
+    n, m, lmbda = INTRA_QUALITIES[q]
+    return CheckerboardImageCodec(n=n, m=m, dtype=dtype), lmbda
