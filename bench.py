@@ -66,6 +66,29 @@ def main():
                  else DCVC(dtype=dtype))
         codec_cls = DvcCodec if model_name == "dvc" else DcvcCodec
     params = jax.block_until_ready(fast_init(model, key))
+    # BENCH_CHECKPOINT: bench with trained weights (a params export dir or
+    # an Orbax checkpoint dir). Trained weights shrink symbol payloads
+    # ~50x vs random init, so host rANS + link costs reflect real serving.
+    ckpt = os.environ.get("BENCH_CHECKPOINT")
+    ckpt_loaded = False
+    if ckpt:
+        from deepvideocodec_tpu.utils import (
+            restore_params_export, restore_checkpoint, latest_step)
+
+        restored = restore_params_export(ckpt, params)
+        if restored is None:
+            step = latest_step(ckpt)
+            if step is None:
+                raise FileNotFoundError(
+                    f"BENCH_CHECKPOINT={ckpt}: no params export or "
+                    "checkpoint steps found")
+            from deepvideocodec_tpu.train import create_train_state
+
+            state = create_train_state(model, key, None)
+            params = restore_checkpoint(ckpt, step, state).params
+        else:
+            params = restored
+        ckpt_loaded = True
     codec = codec_cls(model, params)
 
     # 8-bit source frames converted to float on device. Default ingestion
@@ -191,6 +214,12 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "baseline_fps": BASELINE_FPS,
+        "baseline_provenance": (
+            "estimated torch-GPU enc+dec fps for this model class at "
+            "1080p; the reference publishes no speed numbers "
+            "(BASELINE.md)"),
+        "weights": "trained-checkpoint" if ckpt_loaded else "random-init",
     }))
 
 
