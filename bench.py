@@ -54,9 +54,16 @@ def main():
     # BENCH_MODEL selects the codec family (dmc is the flagship/default;
     # dvc and dcvc share the identical streaming-codec driver API).
     model_name = os.environ.get("BENCH_MODEL", "dmc")
+    # BENCH_VARIANT=fast enables the speed/RD architecture variants
+    # (DMCConfig.warp_ctx_half + flow_half — see models/dmc.py); 'base'
+    # is the reference-parity topology.
+    variant = os.environ.get("BENCH_VARIANT", "base")
     key = jax.random.PRNGKey(0)
     if model_name == "dmc":
-        model = DMC(cfg=DMCConfig(dtype=dtype))
+        kw = dict(dtype=dtype)
+        if variant == "fast":
+            kw.update(warp_ctx_half=True, flow_half=True)
+        model = DMC(cfg=DMCConfig(**kw))
         codec_cls = DmcCodec
     else:
         from deepvideocodec_tpu.models import DVC, DCVC
@@ -220,6 +227,7 @@ def main():
             "1080p; the reference publishes no speed numbers "
             "(BASELINE.md)"),
         "weights": "trained-checkpoint" if ckpt_loaded else "random-init",
+        "variant": variant,
     }))
 
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import flow_warp, bilinear_downsample_x2
+from ..ops import (flow_warp, bilinear_downsample_x2,
+                   bilinear_upsample_x2, avg_pool_2x2)
 from .layers import (
     conv,
     ResBlock,
@@ -50,6 +51,16 @@ class DMCConfig:
     # latents, flow, priors, entropy math and recon output stay f32 either
     # way (layer-level pins) so the coded bitstream semantics are stable.
     dtype: str = "float32"
+    # Speed/RD architecture variants (default off = reference-parity
+    # topology; RD impact must be validated by training — scripts/
+    # campaign.sh trains both). Measured effects: docs/PERFORMANCE.md.
+    #   warp_ctx_half: mine the full-res temporal context by warping the
+    #     /2-pooled feature with the /2 flow and upsampling back — the
+    #     full-res 64ch gather is the single most expensive device op.
+    #   flow_half: run SpyNet on /2-pooled frames and upsample the flow
+    #     (x2 values); quarters motion-estimation cost.
+    warp_ctx_half: bool = False
+    flow_half: bool = False
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
@@ -191,17 +202,41 @@ class DMC(nn.Module):
             feature = self.feature_adaptor_p(dpb["feature_ref"])
         return self.feature_extractor(feature)
 
-    def motion_compensation(self, mv, dpb, first_p: bool):
+    def _estimate_flow(self, x_cur, x_ref):
+        if self.cfg.flow_half:
+            mv = self.optic_flow(avg_pool_2x2(x_cur), avg_pool_2x2(x_ref))
+            return bilinear_upsample_x2(mv) * 2.0
+        return self.optic_flow(x_cur, x_ref)
+
+    def motion_compensation(self, mv, dpb, first_p: bool,
+                            need_xwarp: bool = True):
+        """Warped multi-scale contexts (+ the warped frame when asked).
+
+        `need_xwarp` is static: the real-codec decode stages never use the
+        warped frame (it only feeds the motion-pretrain loss), so the
+        warp_ctx_half variant skips that full-res gather entirely there.
+        """
         mv2 = bilinear_downsample_x2(mv) / 2.0
         mv3 = bilinear_downsample_x2(mv2) / 2.0
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb, first_p)
-        # x_ref and f1 share the full-res flow: one fused gather instead of
-        # two (warp cost on TPU is per-index — fusing channels is free).
-        both = flow_warp(
-            jnp.concatenate([dpb["x_ref"].astype(f1.dtype), f1], axis=-1),
-            mv)
-        warpframe = both[..., :3]
-        c1 = both[..., 3:]
+        if self.cfg.warp_ctx_half:
+            # context1 mined at /2: pool the full-res feature, warp with
+            # the /2 flow, upsample back. The full-res 64ch gather is the
+            # single most expensive device op (docs/PERFORMANCE.md); this
+            # quarters its index count at an RD cost to be trained/
+            # measured (campaign).
+            c1 = bilinear_upsample_x2(flow_warp(avg_pool_2x2(f1), mv2))
+            warpframe = (flow_warp(dpb["x_ref"].astype(f1.dtype), mv)
+                         if need_xwarp else None)
+        else:
+            # x_ref and f1 share the full-res flow: one fused gather
+            # instead of two (warp cost is per-index — channels free).
+            both = flow_warp(
+                jnp.concatenate(
+                    [dpb["x_ref"].astype(f1.dtype), f1], axis=-1),
+                mv)
+            warpframe = both[..., :3]
+            c1 = both[..., 3:]
         c2 = flow_warp(f2, mv2)
         c3 = flow_warp(f3, mv3)
         c1, c2, c3 = self.context_fusion_net(c1, c2, c3)
@@ -224,14 +259,16 @@ class DMC(nn.Module):
         RGB reference and sees zero latent refs (the reference models this
         with Nones — video_model.py:529-534).
         """
-        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        mv = self._estimate_flow(x_cur, dpb["x_ref"])
         y_mv = self.motion_autoencoder.encode(mv)
         y_mv_ref = None if first_p else dpb["y_mv_ref"]
         y_mv_hat, mv_lk = self.motion_context_model(
             y_mv, y_mv_ref, training=training)
 
         mv_hat = self.motion_autoencoder.decode(y_mv_hat)
-        c1, c2, c3, x_warp = self.motion_compensation(mv_hat, dpb, first_p)
+        c1, c2, c3, x_warp = self.motion_compensation(
+            mv_hat, dpb, first_p, need_xwarp=motion_pretrain or
+            not self.cfg.warp_ctx_half)
 
         if motion_pretrain:
             return x_warp, {"motion": mv_lk}, dpb
@@ -322,14 +359,15 @@ class DMC(nn.Module):
         the propagated DPB matches what the standalone decoder reconstructs
         from the bitstream (reference encode_inter: video_model.py:581-599).
         """
-        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        mv = self._estimate_flow(x_cur, dpb["x_ref"])
         y_mv = self.motion_autoencoder.encode(mv)
         y_mv_ref = None if first_p else dpb["y_mv_ref"]
         (y_mv_hat, z_mv_sym, mv_q0, mv_q1, mv_i0, mv_i1) = (
             self.motion_context_model.encode_stage(y_mv, y_mv_ref))
 
         mv_hat = self.motion_autoencoder.decode(y_mv_hat)
-        c1, c2, c3, _ = self.motion_compensation(mv_hat, dpb, first_p)
+        c1, c2, c3, _ = self.motion_compensation(
+            mv_hat, dpb, first_p, need_xwarp=False)
 
         y = self.contextual_encoder(x_cur, c1, c2, c3)
         y_ref = None if first_p else dpb["y_ref"]
@@ -360,7 +398,7 @@ class DMC(nn.Module):
     # run analysis transforms and integer symbol extraction.
 
     def encode_motion_latent(self, x_cur, dpb):
-        mv = self.optic_flow(x_cur, dpb["x_ref"])
+        mv = self._estimate_flow(x_cur, dpb["x_ref"])
         return self.motion_autoencoder.encode(mv)
 
     def encode_motion(self, x_cur, dpb):
@@ -412,7 +450,8 @@ class DMC(nn.Module):
     def decode_contexts(self, y_mv_hat, dpb, first_p: bool):
         """Motion decode -> warped contexts (device stage between streams)."""
         mv_hat = self.motion_autoencoder.decode(y_mv_hat)
-        return self.motion_compensation(mv_hat, dpb, first_p)
+        return self.motion_compensation(mv_hat, dpb, first_p,
+                                        need_xwarp=not self.cfg.warp_ctx_half)
 
     def decode_motion_combine_contexts(
         self, yh_00, yh_11, nm_0, nm_1, y_quant_r1, dpb, first_p: bool

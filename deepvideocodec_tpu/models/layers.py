@@ -234,6 +234,8 @@ class ConvBlockResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.phase import space_to_depth2, depth_to_space2, phase_conv
+
         f = self.features
         cin = x.shape[-1]
         k1 = self.param("conv1_kernel", codec_kernel_init, (3, 3, cin, f))
@@ -251,7 +253,22 @@ class ConvBlockResidual(nn.Module):
         ) + bb.astype(cd)
         out, shortcut = y[..., :f], y[..., f:]
         out = leaky_relu(out, 0.01)
-        out = conv(f)(out)
+        # Second conv: explicit params so the narrow full-res case can run
+        # in phase space — a 3x3 conv at C<=32 is output-lane-bound
+        # (~4.5 TF/s measured at 1080p) while the same math over the 2x2
+        # phase decomposition runs at 128 lanes (ops/phase.py; exact up to
+        # float reassociation, same on both codec sides).
+        k2 = self.param("conv2_kernel", codec_kernel_init, (3, 3, f, f))
+        b2 = self.param("conv2_bias", codec_bias_init, (f,))
+        if (f <= 32 and out.shape[1] % 2 == 0 and out.shape[2] % 2 == 0
+                and out.shape[1] * out.shape[2] >= 500_000):
+            out = depth_to_space2(phase_conv(
+                space_to_depth2(out), k2.astype(cd), b2.astype(cd)))
+        else:
+            out = jax.lax.conv_general_dilated(
+                out, k2.astype(cd), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b2.astype(cd)
         if self.se_layer:
             out = SELayer()(out)
         return out + shortcut

@@ -263,3 +263,49 @@ class TestOddResolution:
         nbits = (tmp_path / "odd.bits").stat().st_size * 8
         assert abs(stats["bpp"] - nbits / (72 * 100 * 4)) < 1e-9
         assert np.isfinite(stats["psnr"])
+
+
+class TestVariantRoundTrip:
+    """The speed/RD architecture variants (DMCConfig.warp_ctx_half /
+    flow_half) must preserve the codec's bit-exact encoder/decoder
+    symmetry — they change the graph, not the coding contract."""
+
+    def test_variant_pframe_bit_exact_dpb(self):
+        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16,
+                        warp_ctx_half=True, flow_half=True)
+        model = DMC(cfg=cfg)
+        params = fast_init(model, KEY)
+        codec = DmcCodec(model, params)
+
+        frames = _synthetic_frames(3)
+        dpb = empty_dpb(1, 64, 64, cfg)
+        dpb["x_ref"] = jnp.asarray(frames[0])
+
+        payload, enc_dpb = codec.encode_inter(
+            jnp.asarray(frames[1]), dpb, first_p=True)
+        _, dec_dpb = codec.decode_inter(
+            payload["strings"], payload["shape"], dpb, first_p=True)
+        for k in enc_dpb:
+            np.testing.assert_array_equal(
+                np.asarray(enc_dpb[k]), np.asarray(dec_dpb[k]),
+                err_msg=f"variant DPB field {k} drifted")
+
+        payload2, enc_dpb2 = codec.encode_inter(
+            jnp.asarray(frames[2]), dec_dpb, first_p=False)
+        _, dec_dpb2 = codec.decode_inter(
+            payload2["strings"], payload2["shape"], dec_dpb, first_p=False)
+        for k in enc_dpb2:
+            np.testing.assert_array_equal(
+                np.asarray(enc_dpb2[k]), np.asarray(dec_dpb2[k]),
+                err_msg=f"variant frame-2 DPB field {k} drifted")
+
+    def test_variant_training_forward_finite(self):
+        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16,
+                        warp_ctx_half=True, flow_half=True)
+        model = DMC(cfg=cfg)
+        frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+        params = fast_init(model, KEY)
+        for flags in ({"motion_pretrain": True}, {}):
+            out = model.apply(params, frames, training=True,
+                              rngs={"noise": KEY}, **flags)
+            assert np.all(np.isfinite(np.asarray(out["x_hat"])))

@@ -151,7 +151,8 @@ def _conv_block_residual(m):
     return {
         "conv1_kernel": _k(m.conv[0]),
         "conv1_bias": _b(m.conv[0]),
-        "Conv_0": _conv(m.conv[2]),
+        "conv2_kernel": _k(m.conv[2]),
+        "conv2_bias": _b(m.conv[2]),
         "SELayer_0": _se(m.conv[3]),
         "shortcut_kernel": _k(m.up_dim),
         "shortcut_bias": _b(m.up_dim),
