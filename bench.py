@@ -80,7 +80,7 @@ def main():
     ckpt_loaded = False
     if ckpt:
         from deepvideocodec_tpu.utils import (
-            restore_params_export, restore_checkpoint, latest_step)
+            restore_params_export, restore_params_only, latest_step)
 
         restored = restore_params_export(ckpt, params)
         if restored is None:
@@ -89,10 +89,7 @@ def main():
                 raise FileNotFoundError(
                     f"BENCH_CHECKPOINT={ckpt}: no params export or "
                     "checkpoint steps found")
-            from deepvideocodec_tpu.train import create_train_state
-
-            state = create_train_state(model, key, None)
-            params = restore_checkpoint(ckpt, step, state).params
+            params = restore_params_only(ckpt, step, params)
         else:
             params = restored
         ckpt_loaded = True

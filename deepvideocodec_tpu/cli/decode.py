@@ -37,6 +37,8 @@ def parse_args(argv=None):
                    help="directory for decoded f%%05d.png frames")
     p.add_argument("--orig", type=str, default=None,
                    help="dir of original *.png frames to PSNR against")
+    p.add_argument("--variant", choices=["base", "fast"], default="base",
+                   help="dmc topology (must match the checkpoint's)")
     return p.parse_args(argv)
 
 
@@ -44,14 +46,13 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from ..models import DMC, DVC, DCVC, CheckerboardImageCodec, fast_init
     from ..eval.codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
     from ..eval.evaluator import decode_video, load_png_frames, psnr
-    from ..utils import (setup_logger, restore_checkpoint, latest_step,
-                         restore_params_export)
+    from ..utils import (setup_logger, latest_step,
+                         restore_params_export, restore_params_only)
 
     bits_path = Path(args.bits)
     if not bits_path.is_file():
@@ -64,18 +65,28 @@ def main(argv=None):
         "dvc": (DVC, DvcCodec),
         "dcvc": (DCVC, DcvcCodec),
     }[args.model]
-    model = model_cls()
+    if args.model == "dmc":
+        from ..models import DMCConfig
+
+        fast = args.variant == "fast"
+        model = model_cls(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast))
+    else:
+        if args.variant != "base":
+            raise SystemExit("--variant fast is a DMC topology")
+        model = model_cls()
     params = fast_init(model, rng)
     if args.checkpoint:
-        step = latest_step(args.checkpoint)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {args.checkpoint}")
-        from ..train import create_train_state
-        ex = jnp.zeros((1, 3, 64, 64, 3))
-        state = create_train_state(model, rng, ex)
-        state = restore_checkpoint(args.checkpoint, step, state)
-        params = state.params
-        logging.info("loaded inter ckpt step %d", step)
+        restored = restore_params_export(args.checkpoint, params)
+        if restored is not None:
+            params = restored
+            logging.info("loaded inter params export")
+        else:
+            step = latest_step(args.checkpoint)
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {args.checkpoint}")
+            params = restore_params_only(args.checkpoint, step, params)
+            logging.info("loaded inter ckpt step %d (params only)", step)
 
     intra_model = CheckerboardImageCodec()
     intra_params = fast_init(intra_model, rng)
@@ -89,7 +100,7 @@ def main(argv=None):
                 raise FileNotFoundError(
                     f"no intra export/checkpoints under "
                     f"{args.intra_checkpoint}")
-            intra_params = restore_checkpoint(
+            intra_params = restore_params_only(
                 args.intra_checkpoint, istep, intra_params)
 
     inter_codec = codec_cls(model, params)

@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--results-dir", type=str, default="results")
     p.add_argument("--cache-dir", type=str, default="cache")
     p.add_argument("--dataset-name", type=str, default="uvg")
+    p.add_argument("--variant", choices=["base", "fast"], default="base",
+                   help="dmc topology (must match the checkpoint's)")
     return p.parse_args(argv)
 
 
@@ -53,7 +55,6 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from ..models import DMC, DVC, DCVC, CheckerboardImageCodec, fast_init
@@ -61,8 +62,8 @@ def main(argv=None):
     from ..eval.evaluator import evaluate_video, load_png_frames
     from ..eval.pipeline import code_sequence_pipelined
     from ..eval.multi import evaluate_sequences_parallel
-    from ..utils import (setup_logger, restore_checkpoint, latest_step,
-                         restore_params_export)
+    from ..utils import (setup_logger, latest_step,
+                         restore_params_export, restore_params_only)
 
     # Validate inputs before model construction (init + CDF tables cost
     # minutes cold; a bad --frames-root should fail in milliseconds).
@@ -90,19 +91,33 @@ def main(argv=None):
     if args.model == "intra":
         model = params = None
     else:
-        model = model_cls()
-        ex = jnp.zeros((1, 3, 64, 64, 3))
+        if args.model == "dmc":
+            from ..models import DMCConfig
+
+            fast = args.variant == "fast"
+            model = model_cls(cfg=DMCConfig(warp_ctx_half=fast,
+                                            flow_half=fast))
+        else:
+            if args.variant != "base":
+                raise SystemExit("--variant fast is a DMC topology")
+            model = model_cls()
         params = fast_init(model, rng)
     if args.model != "intra" and args.checkpoint:
-        step = latest_step(args.checkpoint)
-        if step is None:
-            raise FileNotFoundError(
-                f"no checkpoints under {args.checkpoint}")
-        from ..train import create_train_state
-        state = create_train_state(model, rng, ex)
-        state = restore_checkpoint(args.checkpoint, step, state)
-        params = state.params
-        logging.info("loaded inter ckpt step %d", step)
+        # params-only restore: the training optimizer's pytree shape
+        # depends on train-time settings (LR schedule etc.), so a full
+        # TrainState template built here would mismatch — and eval never
+        # needs the optimizer state anyway.
+        restored = restore_params_export(args.checkpoint, params)
+        if restored is not None:
+            params = restored
+            logging.info("loaded inter params export")
+        else:
+            step = latest_step(args.checkpoint)
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {args.checkpoint}")
+            params = restore_params_only(args.checkpoint, step, params)
+            logging.info("loaded inter ckpt step %d (params only)", step)
 
     def build_intra_codec(q: int) -> IntraCodec:
         """Per-quality intra codec: -q maps to a (n, m, lambda) operating
@@ -127,7 +142,7 @@ def main(argv=None):
                 if istep is None:
                     raise FileNotFoundError(
                         f"no intra export/checkpoints under {path}")
-                intra_params = restore_checkpoint(path, istep, intra_params)
+                intra_params = restore_params_only(path, istep, intra_params)
                 logging.info("q=%d: loaded intra ckpt step %d", q, istep)
         return IntraCodec(intra_model, intra_params)
 

@@ -49,13 +49,22 @@ def parse_args(argv=None):
                    help="log train metrics every N steps")
     p.add_argument("--intra-checkpoint", type=str, default=None,
                    help="trained intra codec ckpt for the epoch>=50 stage")
+    p.add_argument("--variant", choices=["base", "fast"], default="base",
+                   help="dmc topology: 'fast' enables warp_ctx_half + "
+                        "flow_half (models/dmc.py) — the speed variant "
+                        "whose RD the campaign validates")
     return p.parse_args(argv)
 
 
-def build_model(name: str):
-    from ..models import DMC, DVC, DCVC
+def build_model(name: str, variant: str = "base"):
+    from ..models import DMC, DVC, DCVC, DMCConfig
 
-    return {"dmc": DMC, "dvc": DVC, "dcvc": DCVC}[name]()
+    if name == "dmc":
+        fast = variant == "fast"
+        return DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast))
+    if variant != "base":
+        raise SystemExit("--variant fast is a DMC topology")
+    return {"dvc": DVC, "dcvc": DCVC}[name]()
 
 
 def main(argv=None):
@@ -77,7 +86,9 @@ def main(argv=None):
     from ..utils import setup_logger, AverageMeter, save_checkpoint, \
         restore_checkpoint, latest_step
 
-    base_dir = Path("checkpoints") / args.model / f"{args.lmbda}"
+    model_tag = (args.model if args.variant == "base"
+                 else f"{args.model}_{args.variant}")
+    base_dir = Path("checkpoints") / model_tag / f"{args.lmbda}"
     base_dir.mkdir(parents=True, exist_ok=True)
     setup_logger(base_dir / f"train_{args.name}.log")
 
@@ -103,7 +114,7 @@ def main(argv=None):
     test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
                          num_workers=args.num_workers, drop_last=False)
 
-    model = build_model(args.model)
+    model = build_model(args.model, args.variant)
     example = jnp.zeros(
         (1, args.max_frames, *args.patch_size, 3), jnp.float32)
     steps_per_epoch = max(len(train_loader), 1)

@@ -3,7 +3,8 @@
 from .metrics import psnr, msssim, AverageMeter
 from .logging import setup_logger
 from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
-                         save_params_export, restore_params_export)
+                         save_params_export, restore_params_export,
+                         restore_params_only)
 
 __all__ = [
     "psnr",
@@ -15,4 +16,5 @@ __all__ = [
     "latest_step",
     "save_params_export",
     "restore_params_export",
+    "restore_params_only",
 ]

@@ -66,6 +66,27 @@ def save_params_export(directory, params: Any) -> None:
     ckpt.wait_until_finished()
 
 
+def restore_params_only(directory, step: int, target: Any) -> Any:
+    """Restore just the `params` field of a saved TrainState checkpoint.
+
+    Inference consumers (cli/evaluate.py, bench) must not need to
+    reconstruct the training optimizer to read a checkpoint: the saved
+    opt_state's pytree shape depends on training-only settings (e.g.
+    whether the LR was a schedule — optax.adam stores ScaleByScheduleState
+    vs EmptyState), so restoring into a full TrainState template built
+    without those settings fails structurally. Orbax restores the raw tree
+    without a template; the params subtree is then validated + dtype-cast
+    against `target` (tree_map raises on any structure mismatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    directory = Path(directory).absolute()
+    raw = ocp.StandardCheckpointer().restore(directory / f"step_{step:08d}")
+    return jax.tree.map(
+        lambda t, r: jnp.asarray(r, dtype=t.dtype), target, raw["params"])
+
+
 def restore_params_export(directory, target: Any) -> Optional[Any]:
     """Restore a params-only export; None if the export doesn't exist."""
     path = Path(directory).absolute() / "params_export"
