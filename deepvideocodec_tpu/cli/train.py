@@ -171,13 +171,16 @@ def main(argv=None):
                 "was given; continuing with clean I-frames", epoch)
             stage = stage_for_epoch(40)
         if stage.name not in step_fns:
+            from ..utils import retry_flaky_compile
+
             step_fns[stage.name] = (
-                make_parallel_train_step(
+                retry_flaky_compile(make_parallel_train_step(
                     model, stage, args.lmbda, mesh,
-                    intra_model=intra_model, intra_params=intra_params),
-                make_eval_step(model, stage, args.lmbda,
-                               intra_model=intra_model,
-                               intra_params=intra_params),
+                    intra_model=intra_model, intra_params=intra_params)),
+                retry_flaky_compile(
+                    make_eval_step(model, stage, args.lmbda,
+                                   intra_model=intra_model,
+                                   intra_params=intra_params)),
             )
         train_step, eval_step = step_fns[stage.name]
 

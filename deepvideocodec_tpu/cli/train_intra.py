@@ -166,7 +166,10 @@ def main(argv=None):
             start_epoch = int(s) // max(len(train_loader), 1)
             logging.info("resumed step %d (epoch %d)", s, start_epoch)
 
+    from ..utils import retry_flaky_compile
+
     step_fn, eval_fn = make_intra_train_step(model, tx, args.lmbda)
+    step_fn, eval_fn = retry_flaky_compile(step_fn), retry_flaky_compile(eval_fn)
 
     best = float("inf")
     for epoch in range(start_epoch, args.epochs):

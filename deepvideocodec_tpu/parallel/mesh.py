@@ -122,6 +122,14 @@ def make_parallel_train_step(
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
+    if mesh.size == 1:
+        # Trivial mesh: skip the sharding annotations so XLA compiles the
+        # single-device program directly. Semantically identical (every
+        # spec is degenerate at size 1), and the SPMD-partitioner pipeline
+        # the annotations force is what the axon remote-compile helper
+        # cannot survive on the big training graphs (subprocess SIGKILL,
+        # measured: same graph compiles fine un-annotated).
+        return jax.jit(step)
     return jax.jit(
         step,
         in_shardings=(repl, batch_sharding, repl),

@@ -5,6 +5,7 @@ from .logging import setup_logger
 from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
                          save_params_export, restore_params_export,
                          restore_params_only)
+from .compile_retry import retry_flaky_compile
 
 __all__ = [
     "psnr",
@@ -17,4 +18,5 @@ __all__ = [
     "save_params_export",
     "restore_params_export",
     "restore_params_only",
+    "retry_flaky_compile",
 ]
