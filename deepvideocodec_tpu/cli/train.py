@@ -49,6 +49,17 @@ def parse_args(argv=None):
                    help="log train metrics every N steps")
     p.add_argument("--intra-checkpoint", type=str, default=None,
                    help="trained intra codec ckpt for the epoch>=50 stage")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="warm-start params from another run's checkpoint "
+                        "dir (params-only; fresh optimizer). Used for "
+                        "lambda-adaptation fine-tunes: train one lambda "
+                        "through the full curriculum, then adapt other "
+                        "operating points from it in a few late-stage "
+                        "epochs (pair with --start-epoch).")
+    p.add_argument("--start-epoch", type=int, default=None,
+                   help="force the starting epoch (selects the curriculum "
+                        "stage) for --init-from fine-tunes; also applied "
+                        "on resume of such a run")
     p.add_argument("--variant", choices=["base", "fast"], default="base",
                    help="dmc topology: 'fast' enables warp_ctx_half + "
                         "flow_half (models/dmc.py) — the speed variant "
@@ -127,12 +138,36 @@ def main(argv=None):
         clip_max_norm=args.clip_max_norm)
 
     start_epoch = 0
+    resumed = False
     if args.checkpoint:
         step = latest_step(args.checkpoint)
         if step is not None:
             state = restore_checkpoint(args.checkpoint, step, state)
             start_epoch = int(step // steps_per_epoch)
+            resumed = True
             logging.info("resumed step %d (epoch %d)", step, start_epoch)
+    if args.init_from and not resumed:
+        from ..utils import restore_params_export, restore_params_only
+
+        restored = restore_params_export(args.init_from, state.params)
+        if restored is None:
+            istep = latest_step(args.init_from)
+            if istep is None:
+                raise FileNotFoundError(
+                    f"--init-from {args.init_from}: no export/checkpoints")
+            restored = restore_params_only(args.init_from, istep,
+                                           state.params)
+        state = state.replace(params=restored)
+        logging.info("warm-started params from %s", args.init_from)
+    if args.start_epoch is not None:
+        # Fine-tune runs own their epoch window: the forced start epoch
+        # selects the curriculum stage regardless of the (fresh or
+        # resumed) step counter.
+        # fresh: start at the forced epoch; resumed: the step counter
+        # counts epochs *since* the forced start, so offset it.
+        start_epoch = args.start_epoch + (start_epoch if resumed else 0)
+        logging.info("starting at epoch %d (stage %s)", start_epoch,
+                     stage_for_epoch(start_epoch).name)
 
     intra_model = intra_params = None
     if args.intra_checkpoint:
@@ -220,6 +255,15 @@ def main(argv=None):
                 base_dir, int(state.step), state,
                 metrics={"epoch": epoch, "loss": test_loss},
                 is_best=is_best)
+
+    if args.save:
+        # Params-only export for inference consumers (evaluate/decode/
+        # bench restore it without reconstructing the optimizer) and the
+        # campaign's completion marker.
+        from ..utils import save_params_export
+
+        save_params_export(base_dir, state.params)
+        logging.info("saved params export to %s", base_dir)
 
 
 if __name__ == "__main__":

@@ -34,10 +34,17 @@ from ..ops import (
     depth_to_space,
 )
 
-# Codec-wide initializers: xavier-normal gain sqrt(2) == variance scaling
-# with scale gain^2 = 2 over fan_avg; biases 0.01.
+# Codec-wide initializers: torch Conv2d/Linear default parity. The
+# reference never overrides init, so its effective init is torch's
+# kaiming_uniform(a=sqrt(5)): U(+-1/sqrt(fan_in)), variance 1/(3*fan_in)
+# (= variance_scaling(1/3, fan_in, uniform)). This scale matters: the
+# DMC pipeline chains ~40 convs with additive residuals and no
+# normalization, so a variance-preserving init (xavier gain sqrt(2) —
+# used here before) amplifies ~1.4x per layer and cold-starts the frame
+# branch at |x_hat| ~ 1e9 (measured), i.e. an untrainable 1e24 RD loss;
+# the torch-default scale starts it at O(1) like the reference.
 codec_kernel_init = nn.initializers.variance_scaling(
-    2.0, "fan_avg", "normal")
+    1.0 / 3.0, "fan_in", "uniform")
 codec_bias_init = nn.initializers.constant(0.01)
 
 # Codec-wide computation dtype for conv/dense interiors. Mixed precision,

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train.trainer import TrainState
 from ..train.curriculum import Stage
 from ..train.loss import rate_distortion_loss
-from ..train.optimizers import make_optimizer
+from ..train.optimizers import make_optimizer, global_norm_safe
 
 DATA_AXIS = "data"
 
@@ -118,7 +118,7 @@ def make_parallel_train_step(
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
             loss_fn, has_aux=True)(state.params, batch, noise_rng)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = global_norm_safe(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

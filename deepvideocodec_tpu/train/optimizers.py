@@ -62,6 +62,22 @@ def clip_by_global_norm_safe(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def global_norm_safe(tree: Any) -> jax.Array:
+    """Overflow-proof global L2 norm (same max-rescaled form as the clip).
+
+    optax.global_norm overflows to inf past ~1e19 — early RD-loss spikes
+    reach that, so a metrics readout built on it reports inf while the
+    safe clip is in fact clipping a finite norm.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    absmax = jnp.max(jnp.stack(
+        [jnp.max(jnp.abs(g.astype(jnp.float32))) for g in leaves]))
+    m = jnp.maximum(absmax, 1e-30)
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32) / m))
+             for g in leaves)
+    return m * jnp.sqrt(sq)
+
+
 def make_optimizer(
     learning_rate,
     aux_learning_rate: float = 1e-3,

@@ -23,7 +23,7 @@ from flax import struct
 
 from .curriculum import Stage
 from .loss import rate_distortion_loss
-from .optimizers import make_optimizer
+from .optimizers import make_optimizer, global_norm_safe
 
 
 class TrainState(struct.PyTreeNode):
@@ -115,7 +115,7 @@ def make_train_step(
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
             loss_fn, has_aux=True)(state.params, batch, noise_rng)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = global_norm_safe(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

@@ -108,14 +108,20 @@ def test_gdn_forward_inverse(rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_xavier_sqrt2_init_statistics():
-    """Codec init: xavier-normal gain sqrt(2), bias 0.01."""
+def test_torch_default_init_statistics():
+    """Codec init: torch Conv2d default parity (the reference never
+    overrides init). kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)),
+    so std = 1/sqrt(3*fan_in); checked against torch's actual draw."""
     layer = conv(64, 3)
     params = layer.init(KEY, jnp.zeros((1, 8, 8, 64)))
     k = np.asarray(params["params"]["kernel"])
     fan_in = 3 * 3 * 64
-    fan_out = 3 * 3 * 64
-    expected_std = np.sqrt(2.0) * np.sqrt(2.0 / (fan_in + fan_out))
+    expected_std = 1.0 / np.sqrt(3.0 * fan_in)
     assert abs(k.std() - expected_std) / expected_std < 0.15
+    assert abs(k).max() <= 1.0 / np.sqrt(fan_in) + 1e-7  # uniform bound
+
+    tconv = torch.nn.Conv2d(64, 64, 3)
+    tk = tconv.weight.detach().numpy()
+    assert abs(tk.std() - expected_std) / expected_std < 0.15
     np.testing.assert_allclose(
         np.asarray(params["params"]["bias"]), 0.01)

@@ -117,9 +117,15 @@ class TestDMC:
         zero = [jax.tree_util.keystr(p) for p, l in flat
                 if float(jnp.sum(jnp.abs(l))) == 0]
         # quantiles get no main-loss gradient by design; SE-layer FC pairs
-        # can be dead at random init (ReLU bottleneck of c/16 units)
+        # can be dead at random init (ReLU bottleneck of c/16 units); the
+        # hyper decoders' FIRST conv kernel grad is exactly z_hat*g = 0 at
+        # cold start because round(z) == 0 under the torch-parity init —
+        # the reference shares this transient (STE grows z away from 0
+        # within a few steps; its bias grad is nonzero throughout).
         unexpected = [n for n in zero
-                      if "quantiles" not in n and "SELayer" not in n]
+                      if "quantiles" not in n and "SELayer" not in n
+                      and not ("hyper_decoder" in n and "Conv_0" in n
+                               and "kernel" in n)]
         assert not unexpected, unexpected[:10]
         # and the vast majority of parameters must receive gradient
         assert len(zero) < 0.1 * len(flat)
@@ -152,6 +158,35 @@ class TestOtherFamilies:
             assert np.all(np.asarray(lk) > 0)
         aux = model.apply(params, method=model.aux_loss)
         assert float(aux) > 0
+
+
+class TestInitScale:
+    """Cold-start sanity: random-init recon must be O(1), not 1e9.
+
+    The pipeline chains ~40 convs with additive residuals and no
+    normalization; a variance-preserving init amplifies ~1.4x per layer
+    and once cold-started the FULL-SIZE frame branch at |x_hat| ~ 4e9
+    (1e24 RD loss — untrainable; the torch-default-parity init in
+    models/layers.py fixes it). Full-size models, since the explosion
+    compounds with depth/width.
+    """
+
+    def test_dmc_frame_branch_recon_bounded(self):
+        model = DMC()
+        frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+        params = fast_init(model, KEY)
+        for kw in ({"frame_pretrain": True}, {}):
+            out = model.apply(params, frames, training=True,
+                              rngs={"noise": KEY}, **kw)
+            assert float(jnp.max(jnp.abs(out["x_hat"]))) < 100.0, kw
+
+    @pytest.mark.parametrize("cls", [DVC, DCVC])
+    def test_family_recon_bounded(self, cls):
+        model = cls()
+        frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
+        params = fast_init(model, KEY)
+        out = model.apply(params, frames, training=True, rngs={"noise": KEY})
+        assert float(jnp.max(jnp.abs(out["x_hat"]))) < 100.0
 
 
 class TestFastInit:
