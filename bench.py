@@ -54,10 +54,23 @@ def main():
     # BENCH_MODEL selects the codec family (dmc is the flagship/default;
     # dvc and dcvc share the identical streaming-codec driver API).
     model_name = os.environ.get("BENCH_MODEL", "dmc")
+    # Committed default: ckpts/bench_default.json points at a trained npz
+    # export + the topology variant it was trained with, so a bare
+    # `python bench.py` benches trained serving behavior. Env knobs
+    # (BENCH_VARIANT / BENCH_CHECKPOINT / BENCH_NPZ) override it.
+    default_npz = None
+    default_variant = "base"
+    meta_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "ckpts", "bench_default.json")
+    if model_name == "dmc" and os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        default_npz = os.path.join(os.path.dirname(meta_path), meta["npz"])
+        default_variant = meta.get("variant", "base")
     # BENCH_VARIANT=fast enables the speed/RD architecture variants
     # (DMCConfig.warp_ctx_half + flow_half — see models/dmc.py); 'base'
     # is the reference-parity topology.
-    variant = os.environ.get("BENCH_VARIANT", "base")
+    variant = os.environ.get("BENCH_VARIANT", default_variant)
     key = jax.random.PRNGKey(0)
     if model_name == "dmc":
         kw = dict(dtype=dtype)
@@ -77,8 +90,14 @@ def main():
     # an Orbax checkpoint dir). Trained weights shrink symbol payloads
     # ~50x vs random init, so host rANS + link costs reflect real serving.
     ckpt = os.environ.get("BENCH_CHECKPOINT")
+    npz = os.environ.get("BENCH_NPZ", None if ckpt else default_npz)
     ckpt_loaded = False
-    if ckpt:
+    if npz and not ckpt:
+        from deepvideocodec_tpu.utils import restore_npz_export
+
+        params = restore_npz_export(npz, params)
+        ckpt_loaded = True
+    elif ckpt:
         from deepvideocodec_tpu.utils import (
             restore_params_export, restore_params_only, latest_step)
 

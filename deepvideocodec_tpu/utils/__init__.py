@@ -4,7 +4,8 @@ from .metrics import psnr, msssim, AverageMeter
 from .logging import setup_logger
 from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
                          save_params_export, restore_params_export,
-                         restore_params_only)
+                         restore_params_only,
+                         save_npz_export, restore_npz_export)
 from .compile_retry import retry_flaky_compile
 
 __all__ = [
@@ -19,4 +20,6 @@ __all__ = [
     "restore_params_export",
     "restore_params_only",
     "retry_flaky_compile",
+    "save_npz_export",
+    "restore_npz_export",
 ]

@@ -93,3 +93,45 @@ def restore_params_export(directory, target: Any) -> Optional[Any]:
     if not path.is_dir():
         return None
     return ocp.StandardCheckpointer().restore(path, target)
+
+
+# Entropy-model density/offset params where f16 storage rounding would
+# shift CDF tables more than necessary; everything else tolerates f16
+# (codec bit-exactness never depends on storage precision — both codec
+# sides build tables from the same stored values).
+_F32_PATH_TOKENS = ("quantiles", "matrices", "biases", "factors")
+
+
+def save_npz_export(path, params: Any) -> None:
+    """Single-file compressed params export (checked into the repo so the
+    driver's bench can run trained weights anywhere). f16 storage except
+    entropy-critical leaves; restore casts back to the target dtypes."""
+    import jax
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for p, leaf in flat:
+        key = jax.tree_util.keystr(p)
+        a = np.asarray(leaf)
+        if (a.dtype == np.float32
+                and not any(t in key for t in _F32_PATH_TOKENS)):
+            a = a.astype(np.float16)
+        arrays[key] = a
+    np.savez_compressed(path, **arrays)
+
+
+def restore_npz_export(path, target: Any) -> Any:
+    """Restore a save_npz_export file into `target`'s structure/dtypes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    with np.load(path) as data:
+        def pick(p, leaf):
+            key = jax.tree_util.keystr(p)
+            if key not in data:
+                raise KeyError(f"npz export missing param {key}")
+            return jnp.asarray(data[key], dtype=leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(pick, target)

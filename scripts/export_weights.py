@@ -1,0 +1,59 @@
+"""Export a trained checkpoint to a single committed npz for the bench.
+
+    python scripts/export_weights.py <ckpt_dir> <out.npz> \
+        [--model dmc] [--variant base|fast] [--quality 6]
+
+The npz (utils.save_npz_export: f16 storage except entropy-critical
+leaves) is small enough to check into the repo, so `python bench.py`
+can run trained weights on any machine (ckpts/bench_default.json points
+the bench at the default export + topology variant).
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt")
+    p.add_argument("out")
+    p.add_argument("--model", default="dmc",
+                   choices=["dmc", "dvc", "dcvc", "intra"])
+    p.add_argument("--variant", default="base", choices=["base", "fast"])
+    p.add_argument("--quality", type=int, default=6,
+                   help="intra ladder point (--model intra)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from deepvideocodec_tpu.models import (
+        DMC, DMCConfig, DVC, DCVC, fast_init, intra_model_for_quality)
+    from deepvideocodec_tpu.utils import (
+        restore_params_export, restore_params_only, latest_step,
+        save_npz_export)
+
+    if args.model == "dmc":
+        fastv = args.variant == "fast"
+        model = DMC(cfg=DMCConfig(warp_ctx_half=fastv, flow_half=fastv))
+    elif args.model == "intra":
+        model, _ = intra_model_for_quality(args.quality)
+    else:
+        model = {"dvc": DVC, "dcvc": DCVC}[args.model]()
+    params = fast_init(model, jax.random.PRNGKey(0))
+
+    restored = restore_params_export(args.ckpt, params)
+    if restored is None:
+        step = latest_step(args.ckpt)
+        if step is None:
+            raise FileNotFoundError(f"no export/checkpoints under {args.ckpt}")
+        restored = restore_params_only(args.ckpt, step, params)
+    save_npz_export(args.out, restored)
+    print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
