@@ -87,3 +87,84 @@ class TestBjontegaard:
 
         with pytest.raises(ValueError):
             bd_rate([0.1, 0.2], [30, 31], [0.1, 0.2], [40, 41])
+
+
+class TestCompileRetry:
+    def test_retries_remote_compile_signature(self):
+        from deepvideocodec_tpu.utils import retry_flaky_compile
+
+        calls = []
+
+        def fn(x):
+            calls.append(x)
+            if len(calls) < 3:
+                raise RuntimeError(
+                    "INTERNAL: http://127.0.0.1:8103/remote_compile: "
+                    "HTTP 500: tpu_compile_helper subprocess exit "
+                    "signal SIGKILL (9)")
+            return x * 2
+
+        wrapped = retry_flaky_compile(fn, retries=4, base_sleep=0.0)
+        assert wrapped(21) == 42
+        assert len(calls) == 3
+
+    def test_reraises_other_errors(self):
+        from deepvideocodec_tpu.utils import retry_flaky_compile
+
+        def fn():
+            raise ValueError("not a compile failure")
+
+        with pytest.raises(ValueError):
+            retry_flaky_compile(fn, base_sleep=0.0)()
+
+    def test_exhausted_retries_reraise(self):
+        from deepvideocodec_tpu.utils import retry_flaky_compile
+
+        def fn():
+            raise RuntimeError("remote_compile died")
+
+        with pytest.raises(RuntimeError):
+            retry_flaky_compile(fn, retries=2, base_sleep=0.0)()
+
+
+class TestNpzExport:
+    def test_roundtrip_and_f16_policy(self, tmp_path):
+        import jax
+        from deepvideocodec_tpu.utils import (save_npz_export,
+                                              restore_npz_export)
+
+        params = {
+            "conv": {"kernel": jnp.arange(8, dtype=jnp.float32) / 7.0,
+                     "bias": jnp.zeros((4,), jnp.float32)},
+            "bottleneck": {"quantiles": jnp.asarray(
+                [-1.0, 0.0, 1.0], jnp.float32) * 1e-4},
+        }
+        path = tmp_path / "w.npz"
+        save_npz_export(path, params)
+        back = restore_npz_export(path, params)
+        # structure + dtypes restored
+        assert jax.tree_util.tree_structure(back) == \
+            jax.tree_util.tree_structure(params)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(back)):
+            assert a.dtype == b.dtype
+        # entropy-critical leaves kept exact (f32 storage)
+        np.testing.assert_array_equal(
+            np.asarray(back["bottleneck"]["quantiles"]),
+            np.asarray(params["bottleneck"]["quantiles"]))
+        # other leaves within f16 rounding
+        np.testing.assert_allclose(
+            np.asarray(back["conv"]["kernel"]),
+            np.asarray(params["conv"]["kernel"]), rtol=1e-3)
+
+    def test_missing_param_raises(self, tmp_path):
+        from deepvideocodec_tpu.utils import (save_npz_export,
+                                              restore_npz_export)
+
+        params = {"a": jnp.zeros((2,), jnp.float32)}
+        path = tmp_path / "w.npz"
+        save_npz_export(path, params)
+        bigger = {"a": jnp.zeros((2,), jnp.float32),
+                  "b": jnp.zeros((2,), jnp.float32)}
+        with pytest.raises(KeyError):
+            restore_npz_export(path, bigger)
