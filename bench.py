@@ -28,9 +28,45 @@ from concurrent.futures import ThreadPoolExecutor
 BASELINE_FPS = 1.5
 
 
+def _axon_relay_preflight(timeout_s: float = 180.0) -> None:
+    """Fail fast (with a diagnostic JSON line) when the axon TPU relay is
+    down, instead of hanging forever in jax backend init.
+
+    The axon backend dials 127.0.0.1:<relay ports>; when the relay
+    process has died (observed 2026-08-17), jaxlib spins its silent 1 s
+    connect-retry loop indefinitely. Probe the primary port with a grace
+    window for transient restarts, then exit non-zero with a parseable
+    reason so the driver records an infrastructure failure, not a hang.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return
+    import socket
+
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+                return
+        except OSError:
+            if time.time() >= deadline:
+                print(json.dumps({
+                    "metric": "1080p DMC enc+dec frames/sec/chip "
+                              "(real bitstream)",
+                    "value": None,
+                    "unit": "frames/sec",
+                    "error": "axon TPU relay unreachable "
+                             "(127.0.0.1:8083 refused for "
+                             f"{timeout_s:.0f}s) — infrastructure down, "
+                             "not a codec regression",
+                }))
+                raise SystemExit(3)
+            time.sleep(5)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
+    _axon_relay_preflight()
     import jax
     import jax.numpy as jnp
     import numpy as np
