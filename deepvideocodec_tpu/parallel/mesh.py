@@ -94,8 +94,14 @@ def make_parallel_train_step(
 
     batch_sharding = shard_batch(mesh)
     repl = replicate(mesh)
+    # lambda is a TRACED scalar argument so every lambda of an RD sweep
+    # shares one compiled program per stage (trainer.py has the full
+    # rationale).
+    import jax.numpy as jnp
 
-    def loss_fn(params, batch, noise_rng):
+    lmbda_arr = jnp.asarray(lmbda, jnp.float32)
+
+    def loss_fn(params, batch, noise_rng, lmbda_t):
         frames = batch
         if stage.use_intra_iframe:
             intra_out = intra_model.apply(
@@ -109,15 +115,15 @@ def make_parallel_train_step(
             training=True,
             rngs={"noise": noise_rng},
         )
-        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         aux = model.apply(params, method=model.aux_loss)
         metrics["aux_loss"] = aux
         return metrics[stage.loss_key] + aux, metrics
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, lmbda_t):
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
-            loss_fn, has_aux=True)(state.params, batch, noise_rng)
+            loss_fn, has_aux=True)(state.params, batch, noise_rng, lmbda_t)
         metrics["grad_norm"] = global_norm_safe(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
@@ -129,12 +135,18 @@ def make_parallel_train_step(
         # the annotations force is what the axon remote-compile helper
         # cannot survive on the big training graphs (subprocess SIGKILL,
         # measured: same graph compiles fine un-annotated).
-        return jax.jit(step)
-    return jax.jit(
-        step,
-        in_shardings=(repl, batch_sharding, repl),
-        out_shardings=(repl, repl),
-    )
+        jitted = jax.jit(step)
+    else:
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, batch_sharding, repl, repl),
+            out_shardings=(repl, repl),
+        )
+
+    def train_step(state: TrainState, batch, rng):
+        return jitted(state, batch, rng, lmbda_arr)
+
+    return train_step
 
 
 def device_put_batch(batch, mesh: Mesh):

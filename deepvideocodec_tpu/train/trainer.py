@@ -89,7 +89,14 @@ def make_train_step(
     if stage.use_intra_iframe and intra_model is None:
         raise ValueError("intra stage requires an intra model")
 
-    def loss_fn(params, batch, noise_rng):
+    # lambda rides as a TRACED scalar argument (not a baked constant) so
+    # every lambda shares ONE compiled program per stage — on TPU a stage
+    # compile is minutes through a flaky remote helper, and an RD
+    # campaign sweeps several lambdas. (intra_params stay closed over:
+    # campaigns share one frozen intra codec.)
+    lmbda_arr = jnp.asarray(lmbda, jnp.float32)
+
+    def loss_fn(params, batch, noise_rng, lmbda_t):
         frames = batch
         if stage.use_intra_iframe:
             intra_out = intra_model.apply(
@@ -103,7 +110,7 @@ def make_train_step(
             training=True,
             rngs={"noise": noise_rng},
         )
-        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         aux = _model_aux_loss(model, params)
         metrics["aux_loss"] = aux
         # single fused backward: the two losses touch disjoint param sets
@@ -111,13 +118,16 @@ def make_train_step(
         return total, metrics
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    def _step(state: TrainState, batch, rng, lmbda_t):
         noise_rng = jax.random.fold_in(rng, state.step)
         grads, metrics = jax.grad(
-            loss_fn, has_aux=True)(state.params, batch, noise_rng)
+            loss_fn, has_aux=True)(state.params, batch, noise_rng, lmbda_t)
         metrics["grad_norm"] = global_norm_safe(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        return _step(state, batch, rng, lmbda_arr)
 
     return train_step
 
@@ -126,9 +136,10 @@ def make_eval_step(
     model, stage: Stage, lmbda: float, intra_model=None, intra_params=None
 ) -> Callable:
     """Deterministic eval mirror of the stage (round quantization)."""
+    lmbda_arr = jnp.asarray(lmbda, jnp.float32)  # traced: see train step
 
     @jax.jit
-    def eval_step(params, batch):
+    def _eval(params, batch, lmbda_t):
         frames = batch
         if stage.use_intra_iframe:
             intra_out = intra_model.apply(
@@ -140,8 +151,11 @@ def make_eval_step(
             frame_pretrain=stage.frame_pretrain,
             training=False,
         )
-        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda)
+        metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         metrics["aux_loss"] = _model_aux_loss(model, params)
         return metrics
+
+    def eval_step(params, batch):
+        return _eval(params, batch, lmbda_arr)
 
     return eval_step
