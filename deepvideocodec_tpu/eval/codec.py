@@ -29,6 +29,14 @@ from ..entropy.cdf import (
     factorized_tables_from_params,
 )
 from ..entropy import rans
+from ..utils.compile_retry import retry_flaky_compile
+
+
+def _rjit(*args, **kwargs):
+    """jax.jit + retry: dev-environment remote compiles die
+    nondeterministically (utils/compile_retry.py); every codec stage
+    program is pure, so re-invoking after a failed compile is safe."""
+    return retry_flaky_compile(jax.jit(*args, **kwargs))
 
 
 @functools.lru_cache(maxsize=64)
@@ -76,7 +84,7 @@ def _upload_syms16(arr) -> "jax.Array":
     # int64 abs: np.abs(INT32_MIN) wraps negative and would pass <= 127
     if a.size and np.abs(a.astype(np.int64)).max() <= 127:
         if _widen16 is None:
-            _widen16 = jax.jit(lambda t: t.astype(jnp.int16))
+            _widen16 = _rjit(lambda t: t.astype(jnp.int16))
         return _widen16(jnp.asarray(a.astype(np.int8)))
     return jnp.asarray(np.clip(a, -32767, 32767).astype(np.int16))
 
@@ -185,25 +193,25 @@ class DmcCodec:
         # part #1). first_p is a static python bool -> two cached jits.
         # Stages are fused as far as the host-rANS round trips allow: 6
         # device programs per decoded frame.
-        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"),
+        self._dec_mv_prior = _rjit(meth("decode_motion_prior"),
                                      static_argnames=("first_p",))
-        self._dec_mv_spatial = jax.jit(meth("decode_motion_spatial"))
-        self._dec_mv_combine_ctx = jax.jit(
+        self._dec_mv_spatial = _rjit(meth("decode_motion_spatial"))
+        self._dec_mv_combine_ctx = _rjit(
             meth("decode_motion_combine_contexts"),
             static_argnames=("first_p",))
-        self._dec_fr_prior = jax.jit(meth("decode_frame_prior"),
+        self._dec_fr_prior = _rjit(meth("decode_frame_prior"),
                                      static_argnames=("first_p",))
-        self._dec_fr_spatial = jax.jit(meth("decode_frame_spatial"))
-        self._dec_fr_recon = jax.jit(meth("decode_frame_reconstruct"))
+        self._dec_fr_spatial = _rjit(meth("decode_frame_spatial"))
+        self._dec_fr_recon = _rjit(meth("decode_frame_reconstruct"))
         # Encoder-only stages: analysis transforms + symbol extraction.
-        self._enc_motion = jax.jit(meth("encode_motion"))
-        self._enc_mv_anchor = jax.jit(meth("encode_motion_anchors"))
-        self._enc_mv_nonanchor = jax.jit(meth("encode_motion_nonanchors"))
-        self._enc_frame = jax.jit(meth("encode_frame"))
-        self._enc_fr_anchor = jax.jit(meth("encode_frame_anchors"))
-        self._enc_fr_nonanchor = jax.jit(meth("encode_frame_nonanchors"))
+        self._enc_motion = _rjit(meth("encode_motion"))
+        self._enc_mv_anchor = _rjit(meth("encode_motion_anchors"))
+        self._enc_mv_nonanchor = _rjit(meth("encode_motion_nonanchors"))
+        self._enc_frame = _rjit(meth("encode_frame"))
+        self._enc_fr_anchor = _rjit(meth("encode_frame_anchors"))
+        self._enc_fr_nonanchor = _rjit(meth("encode_frame_nonanchors"))
         # byte-packer: all symbol/index planes -> one buffer -> one fetch
-        self._pack = jax.jit(_pack_planes_device)
+        self._pack = _rjit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         """Fresh decoded-picture buffer seeded with an I-frame recon."""
@@ -359,15 +367,15 @@ class DvcCodec:
         def meth(name):
             return functools.partial(m.apply, method=getattr(m, name))
 
-        self._enc_motion = jax.jit(meth("encode_motion"))
-        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"))
-        self._enc_mv_sym = jax.jit(meth("encode_motion_symbols"))
-        self._dec_pred = jax.jit(meth("decode_prediction"))
-        self._enc_res = jax.jit(meth("encode_residual"))
-        self._dec_res_prior = jax.jit(meth("decode_residual_prior"))
-        self._enc_res_sym = jax.jit(meth("encode_residual_symbols"))
-        self._dec_recon = jax.jit(meth("decode_reconstruct"))
-        self._pack = jax.jit(_pack_planes_device)
+        self._enc_motion = _rjit(meth("encode_motion"))
+        self._dec_mv_prior = _rjit(meth("decode_motion_prior"))
+        self._enc_mv_sym = _rjit(meth("encode_motion_symbols"))
+        self._dec_pred = _rjit(meth("decode_prediction"))
+        self._enc_res = _rjit(meth("encode_residual"))
+        self._dec_res_prior = _rjit(meth("decode_residual_prior"))
+        self._enc_res_sym = _rjit(meth("encode_residual_symbols"))
+        self._dec_recon = _rjit(meth("decode_reconstruct"))
+        self._pack = _rjit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
@@ -451,15 +459,15 @@ class DcvcCodec:
         def meth(name):
             return functools.partial(m.apply, method=getattr(m, name))
 
-        self._enc_motion = jax.jit(meth("encode_motion"))
-        self._dec_mv_prior = jax.jit(meth("decode_motion_prior"))
-        self._enc_mv_sym = jax.jit(meth("encode_motion_symbols"))
-        self._dec_ctx = jax.jit(meth("decode_context"))
-        self._enc_frame = jax.jit(meth("encode_frame"))
-        self._dec_fr_prior = jax.jit(meth("decode_frame_prior"))
-        self._enc_fr_sym = jax.jit(meth("encode_frame_symbols"))
-        self._dec_recon = jax.jit(meth("decode_reconstruct"))
-        self._pack = jax.jit(_pack_planes_device)
+        self._enc_motion = _rjit(meth("encode_motion"))
+        self._dec_mv_prior = _rjit(meth("decode_motion_prior"))
+        self._enc_mv_sym = _rjit(meth("encode_motion_symbols"))
+        self._dec_ctx = _rjit(meth("decode_context"))
+        self._enc_frame = _rjit(meth("encode_frame"))
+        self._dec_fr_prior = _rjit(meth("decode_frame_prior"))
+        self._enc_fr_sym = _rjit(meth("encode_frame_symbols"))
+        self._dec_recon = _rjit(meth("decode_reconstruct"))
+        self._pack = _rjit(_pack_planes_device)
 
     def init_dpb(self, x_ref):
         return {"x_ref": jnp.asarray(x_ref)}
@@ -542,14 +550,14 @@ class IntraCodec:
         def meth(name):
             return functools.partial(m.apply, method=getattr(m, name))
 
-        self._dec_prior = jax.jit(meth("decode_prior"))
-        self._dec_spatial = jax.jit(meth("decode_spatial"))
-        self._dec_combine = jax.jit(meth("decode_combine"))
-        self._dec_recon = jax.jit(meth("decode_reconstruct"))
-        self._enc_latent = jax.jit(meth("encode_latent"))
-        self._enc_z = jax.jit(meth("encode_z"))
-        self._enc_anchor = jax.jit(meth("encode_anchors"))
-        self._enc_nonanchor = jax.jit(meth("encode_nonanchors"))
+        self._dec_prior = _rjit(meth("decode_prior"))
+        self._dec_spatial = _rjit(meth("decode_spatial"))
+        self._dec_combine = _rjit(meth("decode_combine"))
+        self._dec_recon = _rjit(meth("decode_reconstruct"))
+        self._enc_latent = _rjit(meth("encode_latent"))
+        self._enc_z = _rjit(meth("encode_z"))
+        self._enc_anchor = _rjit(meth("encode_anchors"))
+        self._enc_nonanchor = _rjit(meth("encode_nonanchors"))
 
     def compress(self, x):
         """Bit-exact staged encode (priors via the decoder's programs)."""
