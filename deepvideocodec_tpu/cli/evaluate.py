@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--pipelined", action="store_true",
                    help="overlap host coding with device compute "
                         "(byte-identical bitstreams)")
+    p.add_argument("--per-frame", action="store_true",
+                   help="record the per-frame PSNR trajectory in the "
+                        "results JSON (serial path; drift visibility)")
     p.add_argument("--msssim", action="store_true",
                    help="also record MS-SSIM per sequence (serial path)")
     p.add_argument("--streams", type=int, default=1,
@@ -222,6 +225,7 @@ def main(argv=None):
                     results_path=results_dir / f"q{q}.json",
                     video_name=str(seq), quality=q,
                     compute_msssim=args.msssim,
+                    per_frame=args.per_frame,
                 )
             agg_bpp.append(stats["bpp"])
             agg_psnr.append(stats["psnr"])

@@ -149,6 +149,7 @@ def evaluate_video(
     video_name: str = "",
     quality: int = 0,
     compute_msssim: bool = False,
+    per_frame: bool = False,
 ) -> Dict[str, float]:
     """Code a sequence end-to-end; returns {'bpp', 'psnr', 'frames', ...}
     (+ 'msssim' when compute_msssim)."""
@@ -201,11 +202,15 @@ def evaluate_video(
     stats = {
         "video": str(video_name),
         "quality": quality,
+        "gop": gop,
         "bpp": avg_bpp,
         "psnr": float(np.mean(psnrs)),
         "frames": n_frames,
         "seconds": time.time() - tic,
     }
+    if per_frame:
+        # drift visibility: the PSNR trajectory within/across GOPs
+        stats["psnr_per_frame"] = [round(float(v), 3) for v in psnrs]
     if compute_msssim:
         import jax
 
@@ -250,7 +255,17 @@ def decode_video(
                 dpb = inter_codec.init_dpb(rec_pad)
                 first_p = True
             else:
-                f_shape, f_strings = read_body(f)
+                try:
+                    f_shape, f_strings = read_body(f)
+                except EOFError as e:
+                    # the container is not GOP-self-describing (wire
+                    # parity with the reference's writer): an EOF midway
+                    # through a P-frame's motion/frame unit pair almost
+                    # always means the caller's gop doesn't match the
+                    # encoder's, not real truncation.
+                    raise EOFError(
+                        f"{e} at frame {fi} — is --gop (got {gop}) the "
+                        "value the stream was encoded with?") from e
                 rec_pad, dpb = inter_codec.decode_inter(
                     {"motion": strings, "frame": f_strings},
                     {"motion": shape, "frame": f_shape},
