@@ -1,0 +1,72 @@
+#!/bin/bash
+# Campaign phase 3: drift-targeted cascade fine-tunes (CPU-feasible).
+#
+# docs/RD.md's analysis: GOP-8/32 PSNR is drift-dominated — the models
+# train on 2 cascaded P-frames (max-frames 3) and the per-frame PSNR
+# trajectory falls off exactly where the training cascade stops. This
+# phase fine-tunes the trained operating points with max-frames 5
+# (4 cascaded P-frames through the DPB) in the e2e_intra stage (the
+# I-frame inside the train graph is the frozen intra codec's
+# reconstruction, matching the eval distribution), then re-evaluates
+# with the real bitstream at GOP 8 and GOP 32.
+#
+# Sized for this host (1 CPU core, XLA:CPU): batch 4, 128^2 crops.
+# Reference protocol anchors: /root/reference/dmc/train.py:298-330
+# (curriculum), train.sh:9 (max-frames operating point).
+#
+#   bash scripts/campaign3.sh /root/campaign [lambda ...]
+set -euo pipefail
+
+WORK=${1:-/root/campaign}
+shift || true
+LAMBDAS=("${@:-512}")
+REPO=/root/repo
+export JAX_COMPILATION_CACHE_DIR=$REPO/.jax_cache
+# CPU campaign: force the CPU backend (the axon tunnel may be down) and
+# fast XLA:CPU compiles.
+export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+export XLA_FLAGS="${XLA_FLAGS:---xla_backend_optimization_level=0}"
+export PYTHONPATH=$REPO
+cd "$WORK"
+
+log() { echo "[campaign3 $(date +%H:%M:%S)] $*"; }
+
+FT_ARGS="--batch-size ${FT_BATCH:-4} --max-frames ${FT_FRAMES:-5} \
+  --patch-size ${FT_PATCH:-128} ${FT_PATCH:-128} \
+  --num-workers 2 --test-batch-size ${FT_BATCH:-4} -q 6 \
+  --intra-checkpoint checkpoints/intra_q6 --name campaign3 \
+  --log-every ${FT_LOG:-5} \
+  --start-epoch ${FT_START:-50} -e ${FT_END:-53}"
+
+ft() {  # $1 = lambda, $2 = variant (base|fast)
+  local tag=dmc_mf5; [ "$2" = fast ] && tag=dmc_fast_mf5
+  local init=checkpoints/dmc/$1.0
+  [ "$2" = fast ] && init=checkpoints/dmc_fast/$1.0
+  if [ ! -d checkpoints/$tag/$1.0/params_export ]; then
+    log "drift fine-tune dmc lambda=$1 variant=$2 (max-frames 5)"
+    python -m deepvideocodec_tpu.cli.train -m dmc -d data/vimeo \
+      --lambda $1 --variant $2 $FT_ARGS \
+      --init-from $init --checkpoint checkpoints/$tag/$1.0
+  fi
+}
+
+eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
+  local tag=$4
+  log "evaluating: $tag lambda=$1 gop=$3 (${EVAL_FRAMES:-24} frames)"
+  python -m deepvideocodec_tpu.cli.evaluate -m dmc --variant $2 \
+    --frames-root data/eval -q 6 --gop $3 --frames ${EVAL_FRAMES:-24} \
+    --checkpoint checkpoints/$tag/$1.0 \
+    --intra-checkpoint checkpoints/intra_q6 \
+    --results-dir results/${tag}_$1_gop$3_cpu${EVAL_FRAMES:-24} \
+    --cache-dir cache/${tag}_$1_gop$3 \
+    --streams ${EVAL_STREAMS:-1}
+}
+
+for L in "${LAMBDAS[@]}"; do
+  ft "$L" "${FT_VARIANT:-base}"
+  tag=dmc_mf5; [ "${FT_VARIANT:-base}" = fast ] && tag=dmc_fast_mf5
+  eval_dmc "$L" "${FT_VARIANT:-base}" 8 "$tag"
+  eval_dmc "$L" "${FT_VARIANT:-base}" 32 "$tag"
+done
+
+log "campaign3 complete"

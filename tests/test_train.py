@@ -155,6 +155,24 @@ class TestTrainStep:
         m2 = eval_step(state.params, batch)
         assert float(m1["loss"]) == float(m2["loss"])
 
+    def test_long_cascade_step(self, setup):
+        """max-frames 5 = 4 cascaded P-frames through the DPB — the
+        drift fine-tune operating point (scripts/campaign3.sh). Drift
+        starts where the training cascade stops (docs/RD.md), so the
+        longer unroll must train: finite loss, params move, and the
+        remat'd recurrence compiles at T=5 (reference cascade
+        semantics: /root/reference/dmc/models/video_model.py:537-549).
+        """
+        model, state, _ = setup
+        batch = jax.random.uniform(KEY, (1, 5, 64, 64, 3))
+        stage = stage_for_epoch(40)
+        step = make_train_step(model, stage, lmbda=2048.0)
+        new_state, metrics = step(state, batch, KEY)
+        assert np.isfinite(float(metrics["loss"]))
+        before = jax.tree.leaves(state.params)[0]
+        after = jax.tree.leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
     def test_quantiles_move_only_via_aux(self, setup):
         model, state, batch = setup
         stage = stage_for_epoch(40)
