@@ -22,11 +22,17 @@ shift || true
 LAMBDAS=("${@:-512}")
 REPO=/root/repo
 export JAX_COMPILATION_CACHE_DIR=$REPO/.jax_cache
-# CPU campaign: force the CPU backend (the axon tunnel may be down) and
-# fast XLA:CPU compiles.
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
-export XLA_FLAGS="${XLA_FLAGS:---xla_backend_optimization_level=0}"
-export PYTHONPATH=$REPO
+# CPU campaign: force the CPU backend unconditionally — the machine
+# profile PINS JAX_PLATFORMS=axon, so a ${VAR:-cpu} default would keep
+# axon (and hang/fail when the tunnel is down). Set CAMPAIGN3_TPU=1 to
+# run on the TPU instead (restores the axon plugin site on PYTHONPATH).
+if [ "${CAMPAIGN3_TPU:-0}" = 1 ]; then
+  export PYTHONPATH=/root/.axon_site:$REPO
+else
+  export JAX_PLATFORMS=cpu
+  export XLA_FLAGS="${XLA_FLAGS:---xla_backend_optimization_level=0}"
+  export PYTHONPATH=$REPO
+fi
 cd "$WORK"
 
 log() { echo "[campaign3 $(date +%H:%M:%S)] $*"; }
