@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--dataset-name", type=str, default="uvg")
     p.add_argument("--variant", choices=["base", "fast"], default="base",
                    help="dmc topology (must match the checkpoint's)")
+    p.add_argument("--unet-width", type=int, default=None,
+                   help="recon UNet base width (must match the "
+                        "checkpoint's; default 32)")
     return p.parse_args(argv)
 
 
@@ -98,11 +101,15 @@ def main(argv=None):
             from ..models import DMCConfig
 
             fast = args.variant == "fast"
+            kw = ({} if args.unet_width is None
+                  else {"unet_width": args.unet_width})
             model = model_cls(cfg=DMCConfig(warp_ctx_half=fast,
-                                            flow_half=fast))
+                                            flow_half=fast, **kw))
         else:
             if args.variant != "base":
                 raise SystemExit("--variant fast is a DMC topology")
+            if args.unet_width is not None:
+                raise SystemExit("--unet-width is a DMC topology knob")
             model = model_cls()
         params = fast_init(model, rng)
     if args.model != "intra" and args.checkpoint:

@@ -43,7 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--clip_max_norm", type=float, default=1.0)
     p.add_argument("--name", type=str, default="")
     p.add_argument("--save", action="store_true", default=True)
-    p.add_argument("--checkpoint", type=str, help="resume directory")
+    p.add_argument("--checkpoint", type=str,
+                   help="checkpoint directory: resume from its latest "
+                        "step if one exists, and save epoch checkpoints "
+                        "+ the final params export into it (default "
+                        "checkpoints/<model>/<lambda>)")
     p.add_argument("--lr-milestones", type=int, nargs="*", default=[300])
     p.add_argument("--log-every", type=int, default=100,
                    help="log train metrics every N steps")
@@ -56,6 +60,11 @@ def parse_args(argv=None):
                         "through the full curriculum, then adapt other "
                         "operating points from it in a few late-stage "
                         "epochs (pair with --start-epoch).")
+    p.add_argument("--init-partial", action="store_true",
+                   help="with --init-from: shape-tolerant warm start — "
+                        "take every donor leaf whose path+shape matches, "
+                        "keep fresh init elsewhere. For topology-changing "
+                        "fine-tunes (e.g. --unet-width trades).")
     p.add_argument("--start-epoch", type=int, default=None,
                    help="force the starting epoch (selects the curriculum "
                         "stage) for --init-from fine-tunes; also applied "
@@ -64,17 +73,26 @@ def parse_args(argv=None):
                    help="dmc topology: 'fast' enables warp_ctx_half + "
                         "flow_half (models/dmc.py) — the speed variant "
                         "whose RD the campaign validates")
+    p.add_argument("--unet-width", type=int, default=None,
+                   help="recon UNet base width (default 32 = reference "
+                        "ladder; 24 is the next speed/RD trade on the "
+                        "docs/PERFORMANCE.md roadmap). Changes the param "
+                        "tree — warm-start with --init-partial.")
     return p.parse_args(argv)
 
 
-def build_model(name: str, variant: str = "base"):
+def build_model(name: str, variant: str = "base",
+                unet_width: int | None = None):
     from ..models import DMC, DVC, DCVC, DMCConfig
 
     if name == "dmc":
         fast = variant == "fast"
-        return DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast))
+        kw = {} if unet_width is None else {"unet_width": unet_width}
+        return DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast, **kw))
     if variant != "base":
         raise SystemExit("--variant fast is a DMC topology")
+    if unet_width is not None:
+        raise SystemExit("--unet-width is a DMC topology knob")
     return {"dvc": DVC, "dcvc": DCVC}[name]()
 
 
@@ -99,7 +117,12 @@ def main(argv=None):
 
     model_tag = (args.model if args.variant == "base"
                  else f"{args.model}_{args.variant}")
-    base_dir = Path("checkpoints") / model_tag / f"{args.lmbda}"
+    # --checkpoint names the run's checkpoint home: resume source AND
+    # save target. Before this was resume-only, so fine-tune runs
+    # pointed at a fresh dir silently saved into the default tree,
+    # clobbering the donor run's export (observed with campaign3.sh).
+    base_dir = (Path(args.checkpoint) if args.checkpoint
+                else Path("checkpoints") / model_tag / f"{args.lmbda}")
     base_dir.mkdir(parents=True, exist_ok=True)
     setup_logger(base_dir / f"train_{args.name}.log")
 
@@ -125,7 +148,7 @@ def main(argv=None):
     test_loader = Loader(test_ds, args.test_batch_size, shuffle=False,
                          num_workers=args.num_workers, drop_last=False)
 
-    model = build_model(args.model, args.variant)
+    model = build_model(args.model, args.variant, args.unet_width)
     example = jnp.zeros(
         (1, args.max_frames, *args.patch_size, 3), jnp.float32)
     steps_per_epoch = max(len(train_loader), 1)
@@ -147,16 +170,32 @@ def main(argv=None):
             resumed = True
             logging.info("resumed step %d (epoch %d)", step, start_epoch)
     if args.init_from and not resumed:
-        from ..utils import restore_params_export, restore_params_only
+        from ..utils import (restore_params_export, restore_params_only,
+                             restore_params_export_partial)
 
-        restored = restore_params_export(args.init_from, state.params)
-        if restored is None:
-            istep = latest_step(args.init_from)
-            if istep is None:
+        if args.init_partial:
+            out = restore_params_export_partial(args.init_from,
+                                                state.params)
+            if out is None:
                 raise FileNotFoundError(
-                    f"--init-from {args.init_from}: no export/checkpoints")
-            restored = restore_params_only(args.init_from, istep,
-                                           state.params)
+                    f"--init-partial needs a params_export under "
+                    f"{args.init_from}")
+            restored, hit, skipped = out
+            logging.info(
+                "partial warm start from %s: %d leaves restored, "
+                "%d kept fresh%s", args.init_from, len(hit),
+                len(skipped),
+                (" (" + "; ".join(skipped[:6]) + ")") if skipped else "")
+        else:
+            restored = restore_params_export(args.init_from, state.params)
+            if restored is None:
+                istep = latest_step(args.init_from)
+                if istep is None:
+                    raise FileNotFoundError(
+                        f"--init-from {args.init_from}: no "
+                        f"export/checkpoints")
+                restored = restore_params_only(args.init_from, istep,
+                                               state.params)
         state = state.replace(params=restored)
         logging.info("warm-started params from %s", args.init_from)
     if args.start_epoch is not None:

@@ -5,6 +5,7 @@ from .logging import setup_logger
 from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
                          save_params_export, restore_params_export,
                          restore_params_only,
+                         restore_params_export_partial, warm_start_params,
                          save_npz_export, restore_npz_export)
 from .compile_retry import retry_flaky_compile
 
@@ -22,4 +23,6 @@ __all__ = [
     "retry_flaky_compile",
     "save_npz_export",
     "restore_npz_export",
+    "restore_params_export_partial",
+    "warm_start_params",
 ]

@@ -95,6 +95,62 @@ def restore_params_export(directory, target: Any) -> Optional[Any]:
     return ocp.StandardCheckpointer().restore(path, target)
 
 
+def warm_start_params(target: Any, raw: Any, _path: str = "") -> tuple:
+    """Merge a raw restored params tree into `target`, leaf by leaf.
+
+    Topology-changing fine-tunes (e.g. a narrower recon UNet as a
+    speed/RD trade — docs/PERFORMANCE.md roadmap) can't use the strict
+    template restore: the donor checkpoint matches most of the new
+    model's tree but not all of it. This takes every donor leaf whose
+    path exists in `target` with the same shape (cast to the target
+    dtype) and keeps the target's fresh init elsewhere — the pytree
+    analog of torch's load_state_dict(strict=False), which the
+    reference relies on compressai's buffer-resize machinery for
+    (/root/reference/dmc/models/utils.py:35-125).
+
+    Returns (merged, restored_paths, skipped_paths).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    restored, skipped = [], []
+
+    def merge(t, r, path):
+        if isinstance(t, dict):
+            if not isinstance(r, dict):
+                skipped.append(path or "/")
+                return t
+            out = {}
+            for k, v in t.items():
+                if k in r:
+                    out[k] = merge(v, r[k], f"{path}/{k}")
+                else:
+                    skipped.append(f"{path}/{k}")
+                    out[k] = v
+            return out
+        r_arr = np.asarray(r)
+        t_arr = jnp.asarray(t)
+        if r_arr.shape == t_arr.shape:
+            restored.append(path)
+            return jnp.asarray(r_arr, t_arr.dtype)
+        skipped.append(f"{path} (shape {r_arr.shape} != {t_arr.shape})")
+        return t
+
+    merged = merge(target, raw, _path)
+    return merged, restored, skipped
+
+
+def restore_params_export_partial(directory, target: Any):
+    """Shape-tolerant export restore for warm starts across topology
+    changes. Returns (params, restored_paths, skipped_paths) or None if
+    no export exists."""
+    path = Path(directory).absolute() / "params_export"
+    if not path.is_dir():
+        return None
+    raw = ocp.StandardCheckpointer().restore(path)
+    return warm_start_params(target, raw)
+
+
 # Entropy-model density/offset params where f16 storage rounding would
 # shift CDF tables more than necessary; everything else tolerates f16
 # (codec bit-exactness never depends on storage precision — both codec

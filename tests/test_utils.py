@@ -61,6 +61,56 @@ class TestCheckpoint:
         assert (tmp_path / "best.json").is_file()
 
 
+class TestPartialWarmStart:
+    """Shape-tolerant warm start across topology changes (the
+    --init-partial path for e.g. --unet-width fine-tunes)."""
+
+    def test_merge_rules(self, tmp_path):
+        from deepvideocodec_tpu.utils import (
+            save_params_export, restore_params_export_partial)
+
+        donor = {
+            "shared": {"w": jnp.full((3, 3), 2.0)},
+            "resized": {"w": jnp.ones((4, 4))},
+            "donor_only": {"w": jnp.ones(2)},
+        }
+        save_params_export(tmp_path, donor)
+
+        target = {
+            "shared": {"w": jnp.zeros((3, 3))},       # path+shape match
+            "resized": {"w": jnp.zeros((6, 6))},      # shape mismatch
+            "fresh_only": {"w": jnp.full(5, 7.0)},    # not in donor
+        }
+        merged, hit, skipped = restore_params_export_partial(
+            tmp_path, target)
+
+        np.testing.assert_array_equal(
+            np.asarray(merged["shared"]["w"]), 2.0 * np.ones((3, 3)))
+        np.testing.assert_array_equal(
+            np.asarray(merged["resized"]["w"]), np.zeros((6, 6)))
+        np.testing.assert_array_equal(
+            np.asarray(merged["fresh_only"]["w"]), np.full(5, 7.0))
+        assert hit == ["/shared/w"]
+        assert any(s.startswith("/resized/w") for s in skipped)
+        # missing subtrees are recorded at the highest absent level
+        assert "/fresh_only" in skipped
+
+    def test_missing_export_returns_none(self, tmp_path):
+        from deepvideocodec_tpu.utils import restore_params_export_partial
+
+        assert restore_params_export_partial(
+            tmp_path / "nope", {"w": jnp.zeros(1)}) is None
+
+    def test_dtype_cast_to_target(self, tmp_path):
+        from deepvideocodec_tpu.utils import (
+            save_params_export, restore_params_export_partial)
+
+        save_params_export(tmp_path, {"w": jnp.ones(3, jnp.float32)})
+        merged, _, _ = restore_params_export_partial(
+            tmp_path, {"w": jnp.zeros(3, jnp.bfloat16)})
+        assert merged["w"].dtype == jnp.bfloat16
+
+
 class TestBjontegaard:
     def test_identical_curves_zero(self):
         from deepvideocodec_tpu.eval.bdrate import bd_rate, bd_psnr
