@@ -13,7 +13,10 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: this machine's profile PINS JAX_PLATFORMS=axon
+# (remote TPU), so a setdefault would keep axon and hang/fail when the
+# tunnel is down — and a weight export never needs a TPU.
+os.environ["JAX_PLATFORMS"] = os.environ.get("EXPORT_PLATFORM", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
