@@ -134,19 +134,9 @@ def main():
         params = restore_npz_export(npz, params)
         ckpt_loaded = True
     elif ckpt:
-        from deepvideocodec_tpu.utils import (
-            restore_params_export, restore_params_only, latest_step)
+        from deepvideocodec_tpu.utils import restore_any_params
 
-        restored = restore_params_export(ckpt, params)
-        if restored is None:
-            step = latest_step(ckpt)
-            if step is None:
-                raise FileNotFoundError(
-                    f"BENCH_CHECKPOINT={ckpt}: no params export or "
-                    "checkpoint steps found")
-            params = restore_params_only(ckpt, step, params)
-        else:
-            params = restored
+        params = restore_any_params(ckpt, params)
         ckpt_loaded = True
     codec = codec_cls(model, params)
 

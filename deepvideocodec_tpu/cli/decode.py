@@ -27,7 +27,13 @@ def parse_args(argv=None):
     p.add_argument("--bits", required=True, help=".bits container file")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="inter-codec checkpoint dir (random init if absent)")
-    p.add_argument("--intra-checkpoint", type=str, default=None)
+    p.add_argument("--intra-checkpoint", type=str, default=None,
+                   help="intra params (.npz / export dir / ckpt dir); a "
+                        "{q} placeholder resolves to --quality")
+    p.add_argument("-q", "--quality", type=int, default=None,
+                   help="intra ladder point the stream was encoded with "
+                        "(selects the I-frame codec's (n, m) topology; "
+                        "default: the q4-6 geometry)")
     p.add_argument("-g", "--gop", type=int, default=32)
     p.add_argument("--size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
@@ -54,8 +60,7 @@ def main(argv=None):
     from ..models import DMC, DVC, DCVC, CheckerboardImageCodec, fast_init
     from ..eval.codec import DmcCodec, DvcCodec, DcvcCodec, IntraCodec
     from ..eval.evaluator import decode_video, load_png_frames, psnr
-    from ..utils import (setup_logger, latest_step,
-                         restore_params_export, restore_params_only)
+    from ..utils import setup_logger, restore_any_params
 
     bits_path = Path(args.bits)
     if not bits_path.is_file():
@@ -84,32 +89,24 @@ def main(argv=None):
         model = model_cls()
     params = fast_init(model, rng)
     if args.checkpoint:
-        restored = restore_params_export(args.checkpoint, params)
-        if restored is not None:
-            params = restored
-            logging.info("loaded inter params export")
-        else:
-            step = latest_step(args.checkpoint)
-            if step is None:
-                raise FileNotFoundError(
-                    f"no checkpoints under {args.checkpoint}")
-            params = restore_params_only(args.checkpoint, step, params)
-            logging.info("loaded inter ckpt step %d (params only)", step)
+        params = restore_any_params(args.checkpoint, params)
+        logging.info("loaded inter params from %s", args.checkpoint)
 
-    intra_model = CheckerboardImageCodec()
+    # The I-frame codec's (n, m) topology must match what the stream was
+    # encoded with: -q selects the ladder point (evaluate's -q mapping);
+    # without it, the default geometry (= the q4-6 points) is assumed.
+    if args.quality is not None:
+        from ..models import intra_model_for_quality
+
+        intra_model, _ = intra_model_for_quality(args.quality)
+    else:
+        intra_model = CheckerboardImageCodec()
     intra_params = fast_init(intra_model, rng)
     if args.intra_checkpoint:
-        restored = restore_params_export(args.intra_checkpoint, intra_params)
-        if restored is not None:
-            intra_params = restored
-        else:
-            istep = latest_step(args.intra_checkpoint)
-            if istep is None:
-                raise FileNotFoundError(
-                    f"no intra export/checkpoints under "
-                    f"{args.intra_checkpoint}")
-            intra_params = restore_params_only(
-                args.intra_checkpoint, istep, intra_params)
+        path = args.intra_checkpoint.format(
+            q=args.quality if args.quality is not None else "")
+        intra_params = restore_any_params(path, intra_params)
+        logging.info("loaded intra params from %s", path)
 
     inter_codec = codec_cls(model, params)
     intra_codec = IntraCodec(intra_model, intra_params)

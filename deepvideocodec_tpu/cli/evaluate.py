@@ -68,8 +68,7 @@ def main(argv=None):
     from ..eval.evaluator import evaluate_video, load_png_frames
     from ..eval.pipeline import code_sequence_pipelined
     from ..eval.multi import evaluate_sequences_parallel
-    from ..utils import (setup_logger, latest_step,
-                         restore_params_export, restore_params_only)
+    from ..utils import setup_logger, restore_any_params
 
     # Validate inputs before model construction (init + CDF tables cost
     # minutes cold; a bad --frames-root should fail in milliseconds).
@@ -116,18 +115,10 @@ def main(argv=None):
         # params-only restore: the training optimizer's pytree shape
         # depends on train-time settings (LR schedule etc.), so a full
         # TrainState template built here would mismatch — and eval never
-        # needs the optimizer state anyway.
-        restored = restore_params_export(args.checkpoint, params)
-        if restored is not None:
-            params = restored
-            logging.info("loaded inter params export")
-        else:
-            step = latest_step(args.checkpoint)
-            if step is None:
-                raise FileNotFoundError(
-                    f"no checkpoints under {args.checkpoint}")
-            params = restore_params_only(args.checkpoint, step, params)
-            logging.info("loaded inter ckpt step %d (params only)", step)
+        # needs the optimizer state anyway. Accepts a committed .npz
+        # export, a params_export dir, or an Orbax checkpoint dir.
+        params = restore_any_params(args.checkpoint, params)
+        logging.info("loaded inter params from %s", args.checkpoint)
 
     def build_intra_codec(q: int) -> IntraCodec:
         """Per-quality intra codec: -q maps to a (n, m, lambda) operating
@@ -143,17 +134,8 @@ def main(argv=None):
         intra_params = fast_init(intra_model, rng)
         if args.intra_checkpoint:
             path = args.intra_checkpoint.format(q=q)
-            restored = restore_params_export(path, intra_params)
-            if restored is not None:
-                intra_params = restored
-                logging.info("q=%d: loaded intra params export", q)
-            else:
-                istep = latest_step(path)
-                if istep is None:
-                    raise FileNotFoundError(
-                        f"no intra export/checkpoints under {path}")
-                intra_params = restore_params_only(path, istep, intra_params)
-                logging.info("q=%d: loaded intra ckpt step %d", q, istep)
+            intra_params = restore_any_params(path, intra_params)
+            logging.info("q=%d: loaded intra params from %s", q, path)
         return IntraCodec(intra_model, intra_params)
 
     untrained = []

@@ -170,7 +170,7 @@ def main(argv=None):
             resumed = True
             logging.info("resumed step %d (epoch %d)", step, start_epoch)
     if args.init_from and not resumed:
-        from ..utils import (restore_params_export, restore_params_only,
+        from ..utils import (restore_any_params,
                              restore_params_export_partial)
 
         if args.init_partial:
@@ -187,15 +187,7 @@ def main(argv=None):
                 len(skipped),
                 (" (" + "; ".join(skipped[:6]) + ")") if skipped else "")
         else:
-            restored = restore_params_export(args.init_from, state.params)
-            if restored is None:
-                istep = latest_step(args.init_from)
-                if istep is None:
-                    raise FileNotFoundError(
-                        f"--init-from {args.init_from}: no "
-                        f"export/checkpoints")
-                restored = restore_params_only(args.init_from, istep,
-                                               state.params)
+            restored = restore_any_params(args.init_from, state.params)
         state = state.replace(params=restored)
         logging.info("warm-started params from %s", args.init_from)
     if args.start_epoch is not None:
@@ -219,17 +211,13 @@ def main(argv=None):
         else:
             intra_model = CheckerboardImageCodec()
         from ..models import fast_init
-        from ..utils import restore_params_export
+        from ..utils import restore_any_params
         intra_params = fast_init(intra_model, rng)
-        restored = restore_params_export(
+        # raises when nothing restorable is found — a silently
+        # random-init frozen intra codec would poison the e2e_intra
+        # stage without any error signal
+        intra_params = restore_any_params(
             args.intra_checkpoint, intra_params)
-        if restored is not None:
-            intra_params = restored
-        else:
-            istep = latest_step(args.intra_checkpoint)
-            if istep is not None:
-                intra_params = restore_checkpoint(
-                    args.intra_checkpoint, istep, intra_params)
 
     mesh = make_mesh()
     logging.info("devices: %s", jax.devices())

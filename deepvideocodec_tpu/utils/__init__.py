@@ -6,7 +6,8 @@ from .checkpoint import (save_checkpoint, restore_checkpoint, latest_step,
                          save_params_export, restore_params_export,
                          restore_params_only,
                          restore_params_export_partial, warm_start_params,
-                         save_npz_export, restore_npz_export)
+                         save_npz_export, restore_npz_export,
+                         restore_any_params)
 from .compile_retry import retry_flaky_compile
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "retry_flaky_compile",
     "save_npz_export",
     "restore_npz_export",
+    "restore_any_params",
     "restore_params_export_partial",
     "warm_start_params",
 ]

@@ -177,6 +177,31 @@ def save_npz_export(path, params: Any) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def restore_any_params(path, target: Any) -> Any:
+    """Restore params from any trained-weights artifact form:
+
+    - a ``.npz`` file written by :func:`save_npz_export` (the committed
+      ``ckpts/*.npz`` exports),
+    - a run directory containing a ``params_export``, or
+    - an Orbax checkpoint directory (latest ``step_*`` is used).
+
+    One dispatch for every CLI's --checkpoint/--intra-checkpoint/--init-
+    from flag, so the committed single-file exports are accepted anywhere
+    a checkpoint directory is.
+    """
+    p = Path(path)
+    if p.is_file() and p.suffix == ".npz":
+        return restore_npz_export(str(p), target)
+    restored = restore_params_export(p, target)
+    if restored is not None:
+        return restored
+    step = latest_step(p)
+    if step is None:
+        raise FileNotFoundError(
+            f"{path}: no .npz export, params_export, or checkpoint steps")
+    return restore_params_only(p, step, target)
+
+
 def restore_npz_export(path, target: Any) -> Any:
     """Restore a save_npz_export file into `target`'s structure/dtypes."""
     import jax

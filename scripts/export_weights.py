@@ -35,9 +35,7 @@ def main(argv=None):
 
     from deepvideocodec_tpu.models import (
         DMC, DMCConfig, DVC, DCVC, fast_init, intra_model_for_quality)
-    from deepvideocodec_tpu.utils import (
-        restore_params_export, restore_params_only, latest_step,
-        save_npz_export)
+    from deepvideocodec_tpu.utils import restore_any_params, save_npz_export
 
     if args.model == "dmc":
         fastv = args.variant == "fast"
@@ -48,13 +46,7 @@ def main(argv=None):
         model = {"dvc": DVC, "dcvc": DCVC}[args.model]()
     params = fast_init(model, jax.random.PRNGKey(0))
 
-    restored = restore_params_export(args.ckpt, params)
-    if restored is None:
-        step = latest_step(args.ckpt)
-        if step is None:
-            raise FileNotFoundError(f"no export/checkpoints under {args.ckpt}")
-        restored = restore_params_only(args.ckpt, step, params)
-    save_npz_export(args.out, restored)
+    save_npz_export(args.out, restore_any_params(args.ckpt, params))
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
 
 

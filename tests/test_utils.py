@@ -111,6 +111,35 @@ class TestPartialWarmStart:
         assert merged["w"].dtype == jnp.bfloat16
 
 
+class TestRestoreAnyParams:
+    """One dispatch for every CLI checkpoint flag: .npz file /
+    params_export dir / Orbax step dir."""
+
+    def test_npz_file(self, tmp_path):
+        from deepvideocodec_tpu.utils import (save_npz_export,
+                                              restore_any_params)
+
+        target = {"w": jnp.zeros(4, jnp.float32)}
+        save_npz_export(tmp_path / "x.npz", {"w": jnp.full(4, 3.0)})
+        out = restore_any_params(tmp_path / "x.npz", target)
+        np.testing.assert_array_equal(np.asarray(out["w"]), 3.0)
+
+    def test_export_dir(self, tmp_path):
+        from deepvideocodec_tpu.utils import (save_params_export,
+                                              restore_any_params)
+
+        target = {"w": jnp.zeros(4)}
+        save_params_export(tmp_path, {"w": jnp.full(4, 5.0)})
+        out = restore_any_params(tmp_path, target)
+        np.testing.assert_array_equal(np.asarray(out["w"]), 5.0)
+
+    def test_missing_raises(self, tmp_path):
+        from deepvideocodec_tpu.utils import restore_any_params
+
+        with pytest.raises(FileNotFoundError):
+            restore_any_params(tmp_path / "nope", {"w": jnp.zeros(1)})
+
+
 class TestBjontegaard:
     def test_identical_curves_zero(self):
         from deepvideocodec_tpu.eval.bdrate import bd_rate, bd_psnr
