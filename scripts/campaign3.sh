@@ -65,7 +65,7 @@ eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
     --intra-checkpoint checkpoints/intra_q6 \
     --results-dir results/${tag}_$1_gop$3_cpu${EVAL_FRAMES:-24} \
     --cache-dir cache/${tag}_$1_gop$3 \
-    --streams ${EVAL_STREAMS:-1}
+    --streams ${EVAL_STREAMS:-1} --per-frame
 }
 
 for L in "${LAMBDAS[@]}"; do
