@@ -1,0 +1,106 @@
+"""Committed trained artifacts drive the real codec bit-exactly.
+
+The committed ckpts/*.npz exports are the framework's equivalent of the
+reference's published pretrained checkpoints (its eval assumes trained
+weights + a pretrained frozen intra codec — /root/reference/dmc/test.py:
+106-123, train.py:564-569). These tests pin three properties of the
+artifacts themselves, in the *trained*-statistics regime (near-
+deterministic CDF rows, tiny payloads) that random-init tests never
+reach:
+
+- the npz param-tree still matches the current model topologies
+  (format/architecture drift breaks restore loudly),
+- CDF tables rebuilt from *trained* quantiles/densities still code
+  bit-exactly encoder-vs-decoder across a chained GOP,
+- trained payloads are an order of magnitude below random-init ones
+  (the statistics actually made it through export/restore).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "ckpts")
+DMC_NPZ = os.path.abspath(os.path.join(CKPT_DIR, "dmc_512.npz"))
+INTRA_NPZ = os.path.abspath(os.path.join(CKPT_DIR, "intra_q6.npz"))
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isfile(DMC_NPZ) and os.path.isfile(INTRA_NPZ)),
+    reason="committed weight exports not present")
+
+
+@pytest.fixture(scope="module")
+def frames():
+    from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
+
+    return [jnp.asarray(f) for f in synthetic_video_frames(3, 64, 64,
+                                                           seed=3)]
+
+
+@pytest.fixture(scope="module")
+def intra_codec():
+    from deepvideocodec_tpu.models import intra_model_for_quality, fast_init
+    from deepvideocodec_tpu.eval.codec import IntraCodec
+    from deepvideocodec_tpu.utils import restore_any_params
+
+    model, _ = intra_model_for_quality(6)
+    params = restore_any_params(
+        INTRA_NPZ, fast_init(model, jax.random.PRNGKey(0)))
+    return IntraCodec(model, params)
+
+
+@pytest.fixture(scope="module")
+def dmc_codec():
+    from deepvideocodec_tpu.models import DMC, fast_init
+    from deepvideocodec_tpu.eval.codec import DmcCodec
+    from deepvideocodec_tpu.utils import restore_any_params
+
+    model = DMC()
+    params = restore_any_params(
+        DMC_NPZ, fast_init(model, jax.random.PRNGKey(0)))
+    return DmcCodec(model, params)
+
+
+def _nbytes(strings):
+    return sum(len(s) for unit in strings for s in (
+        unit if isinstance(unit, (list, tuple)) else [unit]))
+
+
+def test_intra_trained_roundtrip_and_rate(intra_codec, frames):
+    pay = intra_codec.compress(frames[0])
+    rec = intra_codec.decompress(pay["strings"], pay["shape"])
+    rec2 = intra_codec.decompress(pay["strings"], pay["shape"])
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+    mse = float(jnp.mean((rec - frames[0]) ** 2))
+    assert mse < 0.02, f"trained intra recon too poor: mse={mse}"
+    bpp = _nbytes(pay["strings"]) * 8 / (64 * 64)
+    assert bpp < 4.0, f"trained intra rate not trained-like: {bpp} bpp"
+
+
+def test_dmc_trained_gop_bit_exact_and_small(intra_codec, dmc_codec, frames):
+    pay0 = intra_codec.compress(frames[0])
+    x_ref = intra_codec.decompress(pay0["strings"], pay0["shape"])
+    enc_dpb = dmc_codec.init_dpb(x_ref)
+    dec_dpb = dmc_codec.init_dpb(x_ref)
+
+    total = 0
+    for i, first_p in ((1, True), (2, False)):
+        planes, enc_dpb = dmc_codec.encode_device(
+            frames[i], enc_dpb, first_p=first_p)
+        pay = dmc_codec.encode_bytes(planes)
+        _, dec_dpb = dmc_codec.decode_inter(
+            pay["strings"], pay["shape"], dec_dpb, first_p=first_p)
+        for k in enc_dpb:
+            np.testing.assert_array_equal(
+                np.asarray(enc_dpb[k]), np.asarray(dec_dpb[k]),
+                err_msg=f"DPB field {k} drifted at frame {i}")
+        total += _nbytes(pay["strings"])
+
+    bpp = total * 8 / (2 * 64 * 64)
+    # random-init payloads measure ~15-19 bpp; the trained lambda=512
+    # point codes the synthetic corpus at ~0.15 bpp (docs/RD.md). 4 bpp
+    # leaves an order of magnitude of slack for out-of-corpus content.
+    assert bpp < 4.0, f"trained P-frame rate not trained-like: {bpp} bpp"
