@@ -48,7 +48,11 @@ def parse_args(argv=None):
     p.add_argument("--unet-width", type=int, default=None,
                    help="recon UNet base width (must match the "
                         "checkpoint's; default 32)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if (args.intra_checkpoint and "{q}" in args.intra_checkpoint
+            and args.quality is None):
+        p.error("--intra-checkpoint contains {q}: pass -q/--quality")
+    return args
 
 
 def main(argv=None):
@@ -103,8 +107,7 @@ def main(argv=None):
         intra_model = CheckerboardImageCodec()
     intra_params = fast_init(intra_model, rng)
     if args.intra_checkpoint:
-        path = args.intra_checkpoint.format(
-            q=args.quality if args.quality is not None else "")
+        path = args.intra_checkpoint.format(q=args.quality)
         intra_params = restore_any_params(path, intra_params)
         logging.info("loaded intra params from %s", path)
 
