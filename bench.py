@@ -68,6 +68,15 @@ def main():
                           "/root/repo/.jax_cache")
     _axon_relay_preflight()
     import jax
+
+    # Honor an explicit JAX_PLATFORMS even when the axon sitecustomize
+    # already imported jax and forced jax_platforms="axon,cpu" (its
+    # register() runs at interpreter startup, so env-var-only forcing is
+    # too late — same trick as tests/conftest.py). Makes the CPU dev
+    # path (BENCH_SIZE=64x64 JAX_PLATFORMS=cpu) work without PYTHONPATH
+    # surgery.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -77,7 +86,10 @@ def main():
     from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
     from deepvideocodec_tpu.eval.evaluator import pad_to_multiple
 
-    h, w = 1080, 1920
+    # BENCH_SIZE=HxW: dev smoke-testing knob (e.g. 64x64 on CPU when the
+    # TPU tunnel is down); the headline protocol is the 1080p default.
+    h, w = (int(v) for v in
+            os.environ.get("BENCH_SIZE", "1080x1920").split("x"))
     # long enough that tunnel/host noise averages out (~1 min timed)
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
     # bf16 default: conv time dominates and the MXU gain outweighs the
@@ -96,6 +108,7 @@ def main():
     # (BENCH_VARIANT / BENCH_CHECKPOINT / BENCH_NPZ) override it.
     default_npz = None
     default_variant = "base"
+    meta = {}
     meta_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "ckpts", "bench_default.json")
     if model_name == "dmc" and os.path.isfile(meta_path):
@@ -107,11 +120,16 @@ def main():
     # (DMCConfig.warp_ctx_half + flow_half — see models/dmc.py); 'base'
     # is the reference-parity topology.
     variant = os.environ.get("BENCH_VARIANT", default_variant)
+    # BENCH_UNET_WIDTH: recon UNet base width (must match the weights'
+    # topology; bench_default.json may pin it for the committed default).
+    unet_w = os.environ.get("BENCH_UNET_WIDTH", meta.get("unet_width"))
     key = jax.random.PRNGKey(0)
     if model_name == "dmc":
         kw = dict(dtype=dtype)
         if variant == "fast":
             kw.update(warp_ctx_half=True, flow_half=True)
+        if unet_w:
+            kw.update(unet_width=int(unet_w))
         model = DMC(cfg=DMCConfig(**kw))
         codec_cls = DmcCodec
     else:
@@ -270,6 +288,7 @@ def main():
             "(BASELINE.md)"),
         "weights": "trained-checkpoint" if ckpt_loaded else "random-init",
         "variant": variant,
+        **({"unet_width": int(unet_w)} if unet_w else {}),
     }))
 
 
