@@ -141,10 +141,28 @@ def warm_start_params(target: Any, raw: Any, _path: str = "") -> tuple:
 
 
 def restore_params_export_partial(directory, target: Any):
-    """Shape-tolerant export restore for warm starts across topology
-    changes. Returns (params, restored_paths, skipped_paths) or None if
-    no export exists."""
-    path = Path(directory).absolute() / "params_export"
+    """Shape-tolerant restore for warm starts across topology changes.
+
+    Accepts a params_export directory or a .npz export file (the
+    committed ckpts/*.npz artifacts). Returns (params, restored_paths,
+    skipped_paths) or None if no export exists.
+    """
+    import re
+
+    p = Path(directory).absolute()
+    if p.is_file() and p.suffix == ".npz":
+        import numpy as np
+
+        raw: dict = {}
+        with np.load(p) as data:
+            for key in data.files:
+                node = raw
+                parts = re.findall(r"\['([^']+)'\]", key)
+                for part in parts[:-1]:
+                    node = node.setdefault(part, {})
+                node[parts[-1]] = data[key]
+        return warm_start_params(target, raw)
+    path = p / "params_export"
     if not path.is_dir():
         return None
     raw = ocp.StandardCheckpointer().restore(path)

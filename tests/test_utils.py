@@ -101,6 +101,21 @@ class TestPartialWarmStart:
         assert restore_params_export_partial(
             tmp_path / "nope", {"w": jnp.zeros(1)}) is None
 
+    def test_npz_donor(self, tmp_path):
+        from deepvideocodec_tpu.utils import (
+            save_npz_export, restore_params_export_partial)
+
+        donor = {"a": {"w": jnp.full((3,), 2.0)},
+                 "b": {"w": jnp.ones((4,))}}
+        save_npz_export(tmp_path / "d.npz", donor)
+        target = {"a": {"w": jnp.zeros((3,))},
+                  "b": {"w": jnp.zeros((5,))}}
+        merged, hit, skipped = restore_params_export_partial(
+            tmp_path / "d.npz", target)
+        np.testing.assert_array_equal(np.asarray(merged["a"]["w"]), 2.0)
+        np.testing.assert_array_equal(np.asarray(merged["b"]["w"]), 0.0)
+        assert hit == ["/a/w"] and any("/b/w" in s for s in skipped)
+
     def test_dtype_cast_to_target(self, tmp_path):
         from deepvideocodec_tpu.utils import (
             save_params_export, restore_params_export_partial)
