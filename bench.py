@@ -54,6 +54,8 @@ def _axon_relay_preflight(timeout_s: float = 180.0) -> None:
                               "(real bitstream)",
                     "value": None,
                     "unit": "frames/sec",
+                    "vs_baseline": None,
+                    "baseline_fps": BASELINE_FPS,
                     "error": "axon TPU relay unreachable "
                              "(127.0.0.1:8083 refused for "
                              f"{timeout_s:.0f}s) — infrastructure down, "

@@ -21,8 +21,13 @@ def load_points(results_dir: Path):
     """(bpp, psnr) dataset-average per quality file, skipping warnings."""
     pts = []
     for qf in sorted(results_dir.glob("q*.json")):
-        recs = [r for r in json.loads(qf.read_text())
-                if "bpp" in r and "psnr" in r]
+        # the evaluator appends (re-runs add records); keep the last
+        # record per video so repeated evals don't double-count
+        by_video = {}
+        for r in json.loads(qf.read_text()):
+            if "bpp" in r and "psnr" in r:
+                by_video[r.get("video", len(by_video))] = r
+        recs = list(by_video.values())
         if not recs:
             continue
         bpp = sum(r["bpp"] for r in recs) / len(recs)
@@ -48,33 +53,61 @@ def main():
             print(f"| {name} | {q} | {bpp:.4f} | {psnr:.2f} |")
 
     # RD curves across lambda runs: one (bpp, psnr) point per lambda.
-    def curve(prefix):
-        pts = []
-        for name, ps in runs.items():
-            if name.startswith(prefix) and name[len(prefix):].replace(
-                    ".", "").isdigit():
-                lam = float(name[len(prefix):])
-                for _q, bpp, psnr in ps:
-                    pts.append((lam, bpp, psnr))
-        pts.sort()
+    # Result-dir naming: <family>_<lambda>[_gop<G>][_cpu<F>] where family
+    # is dmc / dmc_fast and optional training-variant tags (_mf5 = the
+    # max-frames-5 drift fine-tune, scripts/campaign3.sh). Curves are
+    # grouped per (family, protocol suffix) so BD-rate only ever compares
+    # runs evaluated under the same GOP/frame-count/backend protocol.
+    import re
+
+    name_re = re.compile(
+        r"^(?P<family>dmc(?:_fast)?(?:_mf\d+)?)_(?P<lam>[0-9.]+)"
+        r"(?P<proto>(?:_gop\d+)?(?:_cpu\d+)?)$")
+    curves: dict = {}
+    for name, ps in runs.items():
+        m = name_re.match(name)
+        if not m:
+            continue
+        key = (m.group("family"), m.group("proto").lstrip("_") or "tpu96")
+        for _q, bpp, psnr in ps:
+            curves.setdefault(key, []).append(
+                (float(m.group("lam")), bpp, psnr))
+
+    def rp(key):
+        pts = sorted(curves.get(key, []))
         return [p[1] for p in pts], [p[2] for p in pts]
 
-    base_r, base_p = curve("dmc_")
-    fast_r, fast_p = curve("dmc_fast_")
-    intra = runs.get("intra")
     from deepvideocodec_tpu.eval.bdrate import bd_rate
 
-    if len(base_r) >= 2 and intra and len(intra) >= 2:
-        ir = [p[1] for p in intra]
-        ip = [p[2] for p in intra]
+    def report(label, anchor_key, test_key):
+        ar, ap = rp(anchor_key)
+        tr, tp = rp(test_key)
+        if len(ar) < 2 or len(tr) < 2:
+            return
         try:
-            print(f"\nBD-rate(DMC vs all-intra): "
-                  f"{bd_rate(ir, ip, base_r, base_p):+.1f}%")
+            print(f"BD-rate({label}, {anchor_key[1]}): "
+                  f"{bd_rate(ar, ap, tr, tp):+.1f}%")
         except ValueError as e:
-            print(f"\nBD-rate(DMC vs all-intra): n/a ({e})")
-    if len(base_r) >= 2 and len(fast_r) >= 2:
-        print(f"BD-rate(fast vs base): "
-              f"{bd_rate(base_r, base_p, fast_r, fast_p):+.1f}%")
+            print(f"BD-rate({label}, {anchor_key[1]}): n/a ({e})")
+
+    protos = sorted({k[1] for k in curves})
+    print()
+    intra = runs.get("intra")
+    for proto in protos:
+        base = ("dmc", proto)
+        if intra and len(intra) >= 2 and len(rp(base)[0]) >= 2:
+            ir = [p[1] for p in intra]
+            ip = [p[2] for p in intra]
+            br, bp = rp(base)
+            try:
+                print(f"BD-rate(DMC vs all-intra, {proto}): "
+                      f"{bd_rate(ir, ip, br, bp):+.1f}%")
+            except ValueError as e:
+                print(f"BD-rate(DMC vs all-intra, {proto}): n/a ({e})")
+        report("fast vs base", base, ("dmc_fast", proto))
+        report("mf5 vs base", base, ("dmc_mf5", proto))
+        report("fast_mf5 vs fast", ("dmc_fast", proto),
+               ("dmc_fast_mf5", proto))
 
 
 if __name__ == "__main__":
