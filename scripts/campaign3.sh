@@ -44,12 +44,15 @@ FT_ARGS="--batch-size ${FT_BATCH:-4} --max-frames ${FT_FRAMES:-5} \
   --log-every ${FT_LOG:-5} \
   --start-epoch ${FT_START:-50} -e ${FT_END:-53}"
 
+MF=${FT_FRAMES:-5}   # cascade length keys the tags/results dirs
 ft() {  # $1 = lambda, $2 = variant (base|fast)
-  local tag=dmc_mf5; [ "$2" = fast ] && tag=dmc_fast_mf5
-  local init=checkpoints/dmc/$1.0
-  [ "$2" = fast ] && init=checkpoints/dmc_fast/$1.0
+  local tag=dmc_mf$MF; [ "$2" = fast ] && tag=dmc_fast_mf$MF
+  # FT_INIT overrides the warm-start source (e.g. chain mf7 from the
+  # finished mf5 point instead of the max-frames-3 base).
+  local init=${FT_INIT:-checkpoints/dmc/$1.0}
+  [ "$2" = fast ] && init=${FT_INIT:-checkpoints/dmc_fast/$1.0}
   if [ ! -d checkpoints/$tag/$1.0/params_export ]; then
-    log "drift fine-tune dmc lambda=$1 variant=$2 (max-frames 5)"
+    log "drift fine-tune dmc lambda=$1 variant=$2 (max-frames $MF)"
     python -m deepvideocodec_tpu.cli.train -m dmc -d data/vimeo \
       --lambda $1 --variant $2 $FT_ARGS \
       --init-from $init --checkpoint checkpoints/$tag/$1.0
@@ -70,7 +73,7 @@ eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
 
 for L in "${LAMBDAS[@]}"; do
   ft "$L" "${FT_VARIANT:-base}"
-  tag=dmc_mf5; [ "${FT_VARIANT:-base}" = fast ] && tag=dmc_fast_mf5
+  tag=dmc_mf$MF; [ "${FT_VARIANT:-base}" = fast ] && tag=dmc_fast_mf$MF
   eval_dmc "$L" "${FT_VARIANT:-base}" 8 "$tag"
   eval_dmc "$L" "${FT_VARIANT:-base}" 32 "$tag"
 done
