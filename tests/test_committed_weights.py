@@ -24,11 +24,18 @@ import jax.numpy as jnp
 import pytest
 
 CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "ckpts")
-DMC_NPZ = os.path.abspath(os.path.join(CKPT_DIR, "dmc_512.npz"))
 INTRA_NPZ = os.path.abspath(os.path.join(CKPT_DIR, "intra_q6.npz"))
+# every committed DMC export, with the topology it was trained under
+# ('fast' = DMCConfig(warp_ctx_half=True, flow_half=True)); new exports
+# must be added here so format/architecture drift breaks loudly.
+import glob as _glob
+
+DMC_EXPORTS = sorted(
+    os.path.abspath(p)
+    for p in _glob.glob(os.path.join(CKPT_DIR, "dmc*.npz")))
 
 pytestmark = pytest.mark.skipif(
-    not (os.path.isfile(DMC_NPZ) and os.path.isfile(INTRA_NPZ)),
+    not (DMC_EXPORTS and os.path.isfile(INTRA_NPZ)),
     reason="committed weight exports not present")
 
 
@@ -52,15 +59,18 @@ def intra_codec():
     return IntraCodec(model, params)
 
 
-@pytest.fixture(scope="module")
-def dmc_codec():
-    from deepvideocodec_tpu.models import DMC, fast_init
+@pytest.fixture(scope="module",
+                params=DMC_EXPORTS or ["missing"],
+                ids=[os.path.basename(p) for p in DMC_EXPORTS] or None)
+def dmc_codec(request):
+    from deepvideocodec_tpu.models import DMC, DMCConfig, fast_init
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.utils import restore_any_params
 
-    model = DMC()
+    fast = "fast" in os.path.basename(request.param)
+    model = DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast))
     params = restore_any_params(
-        DMC_NPZ, fast_init(model, jax.random.PRNGKey(0)))
+        request.param, fast_init(model, jax.random.PRNGKey(0)))
     return DmcCodec(model, params)
 
 
