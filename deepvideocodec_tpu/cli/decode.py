@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--unet-width", type=int, default=None,
                    help="recon UNet base width (must match the "
                         "checkpoint's; default 32)")
+    p.add_argument("--gop-parallel", type=int, default=1,
+                   help="decode GOPs concurrently on N codec replicas, "
+                        "one per local device (cycling); identical "
+                        "frames, in order — GOPs are closed coding units")
     args = p.parse_args(argv)
     if (args.intra_checkpoint and "{q}" in args.intra_checkpoint
             and args.quality is None):
@@ -111,8 +115,29 @@ def main(argv=None):
         intra_params = restore_any_params(path, intra_params)
         logging.info("loaded intra params from %s", path)
 
-    inter_codec = codec_cls(model, params)
-    intra_codec = IntraCodec(intra_model, intra_params)
+    if args.gop_parallel > 1:
+        from ..eval.gop_parallel import (
+            replicate_codecs, decode_video_gop_parallel)
+
+        devs = jax.local_devices()
+        uniq = replicate_codecs(
+            model, params, intra_model, intra_params,
+            devs[:min(args.gop_parallel, len(devs))], inter_cls=codec_cls)
+        replicas = [uniq[i % len(uniq)]
+                    for i in range(args.gop_parallel)]
+        logging.info("GOP-parallel decode over %d replicas on %d "
+                     "device(s)", len(replicas), len(uniq))
+
+        def frames_iter(size):
+            return decode_video_gop_parallel(
+                replicas, bits_path, gop=args.gop, size=size)
+    else:
+        inter_codec = codec_cls(model, params)
+        intra_codec = IntraCodec(intra_model, intra_params)
+
+        def frames_iter(size):
+            return decode_video(inter_codec, intra_codec, bits_path,
+                                gop=args.gop, size=size)
 
     out_dir = Path(args.out) if args.out else None
     if out_dir:
@@ -122,8 +147,7 @@ def main(argv=None):
     size = tuple(args.size) if args.size else None
     psnrs = []
     n = 0
-    for fi, rec in enumerate(decode_video(
-            inter_codec, intra_codec, bits_path, gop=args.gop, size=size)):
+    for fi, rec in enumerate(frames_iter(size)):
         if out_dir:
             from PIL import Image
             img = (np.clip(rec, 0, 1) * 255.0).round().astype(np.uint8)

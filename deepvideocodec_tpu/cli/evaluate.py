@@ -38,6 +38,11 @@ def parse_args(argv=None):
                    help="evaluate N sequences concurrently (same "
                         "bitstreams/metrics; overlaps host coding with "
                         "device compute across sequences)")
+    p.add_argument("--gop-parallel", type=int, default=1,
+                   help="code each sequence's GOPs concurrently on N "
+                        "codec replicas, one per local device (cycling "
+                        "when N exceeds the device count); byte-identical "
+                        "bitstreams — GOPs are closed coding units")
     p.add_argument("--frames-root", required=True,
                    help="dir of sequence dirs, each holding *.png frames")
     p.add_argument("--checkpoint", type=str, default=None,
@@ -120,9 +125,9 @@ def main(argv=None):
         params = restore_any_params(args.checkpoint, params)
         logging.info("loaded inter params from %s", args.checkpoint)
 
-    def build_intra_codec(q: int) -> IntraCodec:
-        """Per-quality intra codec: -q maps to a (n, m, lambda) operating
-        point (models.intra.INTRA_QUALITIES — the reference's
+    def build_intra(q: int):
+        """Per-quality intra model+params: -q maps to a (n, m, lambda)
+        operating point (models.intra.INTRA_QUALITIES — the reference's
         cheng2020_anchor(q) slot). --intra-checkpoint may contain a {q}
         placeholder (e.g. ckpts/intra_q{q}) resolved per quality."""
         from ..models import INTRA_QUALITIES, intra_model_for_quality
@@ -136,7 +141,10 @@ def main(argv=None):
             path = args.intra_checkpoint.format(q=q)
             intra_params = restore_any_params(path, intra_params)
             logging.info("q=%d: loaded intra params from %s", q, path)
-        return IntraCodec(intra_model, intra_params)
+        return intra_model, intra_params
+
+    def build_intra_codec(q: int) -> IntraCodec:
+        return IntraCodec(*build_intra(q))
 
     untrained = []
     if args.model != "intra" and not args.checkpoint:
@@ -156,7 +164,6 @@ def main(argv=None):
     from ..eval.evaluator import append_result
 
     for q in args.qualities:
-        intra_codec = build_intra_codec(q)
         if untrained:
             # loud marker inside the results file itself so the numbers
             # can't be mistaken for trained RD points downstream
@@ -164,6 +171,48 @@ def main(argv=None):
                           {"warning": "untrained_random_init",
                            "models": list(untrained), "quality": q})
         agg_bpp, agg_psnr = [], []
+        if args.gop_parallel > 1:
+            if args.pipelined or args.streams > 1:
+                raise SystemExit(
+                    "--gop-parallel is exclusive with "
+                    "--pipelined/--streams")
+            from ..eval.gop_parallel import (
+                replicate_codecs, evaluate_video_gop_parallel)
+
+            intra_model_q, intra_params_q = build_intra(q)
+            devs = jax.local_devices()
+            uniq = replicate_codecs(
+                model, params, intra_model_q, intra_params_q,
+                devs[:min(args.gop_parallel, len(devs))],
+                inter_cls=codec_cls)
+            replicas = [uniq[i % len(uniq)]
+                        for i in range(args.gop_parallel)]
+            logging.info("q=%d: GOP-parallel over %d replicas on %d "
+                         "device(s)", q, len(replicas), len(uniq))
+            for seq in seq_dirs:
+                tag = (f"{args.dataset_name}-{args.model}-q{q}"
+                       f"-gop{args.gop}-num{args.frames}")
+                stats = evaluate_video_gop_parallel(
+                    replicas, load_png_frames(seq, args.frames),
+                    bits_path=Path(args.cache_dir) / tag
+                    / f"{seq.stem}.bits",
+                    gop=args.gop,
+                    results_path=results_dir / f"q{q}.json",
+                    video_name=str(seq), quality=q,
+                    compute_msssim=args.msssim,
+                    per_frame=args.per_frame)
+                agg_bpp.append(stats["bpp"])
+                agg_psnr.append(stats["psnr"])
+                logging.info(
+                    "q=%d %s: bpp=%.4f psnr=%.2f (%.1fs, %d frames)",
+                    q, seq.stem, stats["bpp"], stats["psnr"],
+                    stats["seconds"], stats["frames"])
+            logging.info(
+                "\x1b[92mq=%d dataset avg: bpp=%.4f psnr=%.2f over %d "
+                "seqs\x1b[0m", q, float(np.mean(agg_bpp)),
+                float(np.mean(agg_psnr)), len(seq_dirs))
+            continue
+        intra_codec = build_intra_codec(q)
         if args.streams > 1:
             if args.msssim or args.pipelined:
                 raise SystemExit(
