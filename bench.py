@@ -82,8 +82,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from deepvideocodec_tpu.models import DMC, fast_init
-    from deepvideocodec_tpu.models.dmc import DMCConfig
+    from deepvideocodec_tpu.models import fast_init
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.data.synthetic import synthetic_video_frames
     from deepvideocodec_tpu.eval.evaluator import pad_to_multiple
@@ -126,20 +125,15 @@ def main():
     # topology; bench_default.json may pin it for the committed default).
     unet_w = os.environ.get("BENCH_UNET_WIDTH", meta.get("unet_width"))
     key = jax.random.PRNGKey(0)
+    from deepvideocodec_tpu.models import build_inter_model
+
+    model = build_inter_model(model_name, variant,
+                              int(unet_w) if unet_w else None, dtype)
     if model_name == "dmc":
-        kw = dict(dtype=dtype)
-        if variant == "fast":
-            kw.update(warp_ctx_half=True, flow_half=True)
-        if unet_w:
-            kw.update(unet_width=int(unet_w))
-        model = DMC(cfg=DMCConfig(**kw))
         codec_cls = DmcCodec
     else:
-        from deepvideocodec_tpu.models import DVC, DCVC
         from deepvideocodec_tpu.eval.codec import DvcCodec, DcvcCodec
 
-        model = (DVC(dtype=dtype) if model_name == "dvc"
-                 else DCVC(dtype=dtype))
         codec_cls = DvcCodec if model_name == "dvc" else DcvcCodec
     params = jax.block_until_ready(fast_init(model, key))
     # BENCH_CHECKPOINT: bench with trained weights (a params export dir or

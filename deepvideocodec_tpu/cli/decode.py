@@ -81,20 +81,13 @@ def main(argv=None):
         "dvc": (DVC, DvcCodec),
         "dcvc": (DCVC, DcvcCodec),
     }[args.model]
-    if args.model == "dmc":
-        from ..models import DMCConfig
+    from ..models import build_inter_model
 
-        fast = args.variant == "fast"
-        kw = ({} if args.unet_width is None
-              else {"unet_width": args.unet_width})
-        model = model_cls(
-            cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast, **kw))
-    else:
-        if args.variant != "base":
-            raise SystemExit("--variant fast is a DMC topology")
-        if args.unet_width is not None:
-            raise SystemExit("--unet-width is a DMC topology knob")
-        model = model_cls()
+    try:
+        model = build_inter_model(args.model, args.variant,
+                                  args.unet_width)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
     params = fast_init(model, rng)
     if args.checkpoint:
         params = restore_any_params(args.checkpoint, params)

@@ -101,20 +101,13 @@ def main(argv=None):
     if args.model == "intra":
         model = params = None
     else:
-        if args.model == "dmc":
-            from ..models import DMCConfig
+        from ..models import build_inter_model
 
-            fast = args.variant == "fast"
-            kw = ({} if args.unet_width is None
-                  else {"unet_width": args.unet_width})
-            model = model_cls(cfg=DMCConfig(warp_ctx_half=fast,
-                                            flow_half=fast, **kw))
-        else:
-            if args.variant != "base":
-                raise SystemExit("--variant fast is a DMC topology")
-            if args.unet_width is not None:
-                raise SystemExit("--unet-width is a DMC topology knob")
-            model = model_cls()
+        try:
+            model = build_inter_model(args.model, args.variant,
+                                      args.unet_width)
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
         params = fast_init(model, rng)
     if args.model != "intra" and args.checkpoint:
         # params-only restore: the training optimizer's pytree shape
@@ -158,8 +151,23 @@ def main(argv=None):
             "--checkpoint/--intra-checkpoint)\x1b[0m",
             ", ".join(untrained))
 
-    inter_codec = (None if args.model == "intra"
-                   else codec_cls(model, params))
+    gp_devs = gp_inter = None
+    if args.gop_parallel > 1:
+        if args.pipelined or args.streams > 1:
+            raise SystemExit(
+                "--gop-parallel is exclusive with --pipelined/--streams")
+        # Inter-codec replicas are quality-independent: build them ONCE
+        # (each DmcCodec re-jits ~13 stage programs; per-quality rebuild
+        # would recompile every one of them per q).
+        devs = jax.local_devices()
+        gp_devs = devs[:min(args.gop_parallel, len(devs))]
+        gp_inter = [None if model is None
+                    else codec_cls(model, jax.device_put(params, d))
+                    for d in gp_devs]
+        inter_codec = None
+    else:
+        inter_codec = (None if args.model == "intra"
+                       else codec_cls(model, params))
 
     from ..eval.evaluator import append_result
 
@@ -172,19 +180,14 @@ def main(argv=None):
                            "models": list(untrained), "quality": q})
         agg_bpp, agg_psnr = [], []
         if args.gop_parallel > 1:
-            if args.pipelined or args.streams > 1:
-                raise SystemExit(
-                    "--gop-parallel is exclusive with "
-                    "--pipelined/--streams")
-            from ..eval.gop_parallel import (
-                replicate_codecs, evaluate_video_gop_parallel)
+            from ..eval.gop_parallel import evaluate_video_gop_parallel
 
             intra_model_q, intra_params_q = build_intra(q)
-            devs = jax.local_devices()
-            uniq = replicate_codecs(
-                model, params, intra_model_q, intra_params_q,
-                devs[:min(args.gop_parallel, len(devs))],
-                inter_cls=codec_cls)
+            uniq = [
+                (ic, IntraCodec(intra_model_q,
+                                jax.device_put(intra_params_q, d)), d)
+                for ic, d in zip(gp_inter, gp_devs)
+            ]
             replicas = [uniq[i % len(uniq)]
                         for i in range(args.gop_parallel)]
             logging.info("q=%d: GOP-parallel over %d replicas on %d "

@@ -83,17 +83,12 @@ def parse_args(argv=None):
 
 def build_model(name: str, variant: str = "base",
                 unet_width: int | None = None):
-    from ..models import DMC, DVC, DCVC, DMCConfig
+    from ..models import build_inter_model
 
-    if name == "dmc":
-        fast = variant == "fast"
-        kw = {} if unet_width is None else {"unet_width": unet_width}
-        return DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast, **kw))
-    if variant != "base":
-        raise SystemExit("--variant fast is a DMC topology")
-    if unet_width is not None:
-        raise SystemExit("--unet-width is a DMC topology knob")
-    return {"dvc": DVC, "dcvc": DCVC}[name]()
+    try:
+        return build_inter_model(name, variant, unet_width)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
 
 
 def main(argv=None):

@@ -42,6 +42,12 @@ class Loader:
                              f"for num_shards {num_shards}")
         if num_shards > 1 and batch_size % num_shards != 0:
             raise ValueError("num_shards must divide the global batch_size")
+        if num_shards > 1 and not drop_last:
+            # a trailing non-full global batch would hand hosts unequal
+            # (possibly empty) local slices — per-host iteration counts
+            # desynchronize and the collective global-array assembly in
+            # parallel.device_put_batch deadlocks
+            raise ValueError("num_shards > 1 requires drop_last=True")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -83,13 +89,10 @@ class Loader:
         epoch, self.epoch = self.epoch, self.epoch + 1
         batches = self._global_batches(epoch)
         if self.num_shards > 1:
+            # every batch is full here (sharding requires drop_last)
             per = self.batch_size // self.num_shards
             lo = self.shard_index * per
-            # the trailing non-full batch (drop_last=False) is sliced by
-            # the same proportional rule so shards stay disjoint
-            batches = [b[min(lo, len(b)):min(lo + per, len(b))]
-                       for b in batches]
-            batches = [b for b in batches if len(b)]
+            batches = [b[lo:lo + per] for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

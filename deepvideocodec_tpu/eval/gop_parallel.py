@@ -296,11 +296,20 @@ class _DecodeWorker:
         self.q: "list" = []
         self.cv = threading.Condition()
         self.done = False
+        self.cancel = False
         self.results: Dict[int, List[np.ndarray]] = {}
         self.ready = threading.Condition()
         self.error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
+
+    def stop(self):
+        """Abandon remaining GOPs (consumer gone); wakes all waits."""
+        self.cancel = True
+        with self.cv:
+            self.cv.notify_all()
+        with self.ready:
+            self.ready.notify_all()
 
     def submit(self, idx: int, span: Tuple[int, int]):
         with self.cv:
@@ -340,9 +349,10 @@ class _DecodeWorker:
             with Path(self.bits_path).open("rb") as f:
                 while True:
                     with self.cv:
-                        while not self.q and not self.done:
+                        while (not self.q and not self.done
+                               and not self.cancel):
                             self.cv.wait()
-                        if not self.q:
+                        if not self.q or self.cancel:
                             return
                         idx, (off, n_frames) = self.q.pop(0)
                     f.seek(off)
@@ -350,6 +360,12 @@ class _DecodeWorker:
                     with self.ready:
                         self.results[idx] = res
                         self.ready.notify_all()
+                        # backpressure: at most 2 undelivered GOPs per
+                        # worker (decoded 1080p frames are ~24 MB each;
+                        # racing ahead of the in-order consumer would
+                        # buffer a whole sequence in RAM)
+                        while len(self.results) >= 2 and not self.cancel:
+                            self.ready.wait()
         except BaseException as e:  # noqa: BLE001 — reraised by the driver
             self.error = e
             with self.ready:
@@ -386,8 +402,13 @@ def decode_video_gop_parallel(
                 if wk.error is not None:
                     raise wk.error
                 recs = wk.results.pop(idx)
+                wk.ready.notify_all()  # wake a backpressured worker
             yield from recs
     finally:
+        # consumer gone or done: abandon undecoded GOPs at the next
+        # boundary instead of burning device time nobody will read
+        for wk in workers:
+            wk.stop()
         for wk in workers:
             wk.thread.join(timeout=60)
     for wk in workers:

@@ -19,8 +19,10 @@ from .intra import (
 )
 from .dvc import DVC
 from .dcvc import DCVC
+from .factory import build_inter_model
 
 __all__ = [
+    "build_inter_model",
     "DMC",
     "DMCConfig",
     "fast_init",

@@ -1,0 +1,46 @@
+"""Canonical inter-model construction from CLI-level knobs.
+
+Every entry point that builds a video codec model from (family, variant,
+unet_width, dtype) — the train/evaluate/decode CLIs, bench.py, the weight
+exporter — must construct the SAME topology for the same knobs, or a
+checkpoint trained under one CLI silently evaluates a mismatched
+architecture under another. This is the one place the mapping lives.
+"""
+
+from __future__ import annotations
+
+
+def build_inter_model(name: str, variant: str = "base",
+                      unet_width: int | None = None,
+                      dtype: str | None = None):
+    """family name + topology knobs -> model instance.
+
+    `variant="fast"` enables the speed/RD architecture pair
+    (DMCConfig.warp_ctx_half + flow_half — docs/PERFORMANCE.md);
+    `unet_width` overrides the recon UNet base width. Both are
+    DMC-topology knobs; passing them for DVC/DCVC raises ValueError.
+    """
+    from .dmc import DMC, DMCConfig
+    from .dvc import DVC
+    from .dcvc import DCVC
+
+    if name == "dmc":
+        kw = {}
+        if variant == "fast":
+            kw.update(warp_ctx_half=True, flow_half=True)
+        elif variant != "base":
+            raise ValueError(f"unknown variant {variant!r}")
+        if unet_width is not None:
+            kw.update(unet_width=int(unet_width))
+        if dtype is not None:
+            kw.update(dtype=dtype)
+        return DMC(cfg=DMCConfig(**kw))
+    if variant != "base":
+        raise ValueError("--variant fast is a DMC topology")
+    if unet_width is not None:
+        raise ValueError("--unet-width is a DMC topology knob")
+    try:
+        cls = {"dvc": DVC, "dcvc": DCVC}[name]
+    except KeyError:
+        raise ValueError(f"unknown model family {name!r}") from None
+    return cls() if dtype is None else cls(dtype=dtype)

@@ -21,7 +21,6 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.trainer import TrainState

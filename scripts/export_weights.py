@@ -29,21 +29,22 @@ def main(argv=None):
     p.add_argument("--variant", default="base", choices=["base", "fast"])
     p.add_argument("--quality", type=int, default=6,
                    help="intra ladder point (--model intra)")
+    p.add_argument("--unet-width", type=int, default=None,
+                   help="recon UNet base width (must match the "
+                        "checkpoint's; default 32)")
     args = p.parse_args(argv)
 
     import jax
 
     from deepvideocodec_tpu.models import (
-        DMC, DMCConfig, DVC, DCVC, fast_init, intra_model_for_quality)
+        build_inter_model, fast_init, intra_model_for_quality)
     from deepvideocodec_tpu.utils import restore_any_params, save_npz_export
 
-    if args.model == "dmc":
-        fastv = args.variant == "fast"
-        model = DMC(cfg=DMCConfig(warp_ctx_half=fastv, flow_half=fastv))
-    elif args.model == "intra":
+    if args.model == "intra":
         model, _ = intra_model_for_quality(args.quality)
     else:
-        model = {"dvc": DVC, "dcvc": DCVC}[args.model]()
+        model = build_inter_model(args.model, args.variant,
+                                  args.unet_width)
     params = fast_init(model, jax.random.PRNGKey(0))
 
     save_npz_export(args.out, restore_any_params(args.ckpt, params))

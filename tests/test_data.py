@@ -167,3 +167,7 @@ class TestLoaderSharding:
             Loader(ds, 4, num_shards=3)  # 3 does not divide 4
         with pytest.raises(ValueError):
             Loader(ds, 4, num_shards=2, shard_index=2)
+        with pytest.raises(ValueError, match="drop_last"):
+            # a trailing non-full batch would desynchronize per-host
+            # iteration counts (unequal/empty local slices)
+            Loader(ds, 4, num_shards=2, drop_last=False)

@@ -111,6 +111,24 @@ def test_shared_replica_single_device(tmp_path, serial_codecs):
     assert p["psnr"] == s["psnr"]
 
 
+def test_parallel_decode_early_close(tmp_path, serial_codecs, replicas):
+    """Abandoning the generator stops the workers at the next GOP
+    boundary (no decoding of GOPs nobody will read, no join hang)."""
+    import time
+
+    frames = _frames(6)
+    evaluate_video(*serial_codecs, frames, tmp_path / "ec.bits", gop=2)
+    serial = list(decode_video(*serial_codecs, tmp_path / "ec.bits",
+                               gop=2, size=(64, 64)))
+    gen = decode_video_gop_parallel(replicas, tmp_path / "ec.bits",
+                                    gop=2, size=(64, 64))
+    first = next(gen)
+    np.testing.assert_array_equal(first, serial[0])
+    t0 = time.time()
+    gen.close()
+    assert time.time() - t0 < 30, "early close must not hang on workers"
+
+
 def test_empty_sequence_raises(tmp_path, replicas):
     with pytest.raises(ValueError, match="no frames"):
         evaluate_video_gop_parallel(replicas, [], tmp_path / "e.bits",
