@@ -95,15 +95,21 @@ def main():
     intra = runs.get("intra")
     for proto in protos:
         base = ("dmc", proto)
-        if intra and len(intra) >= 2 and len(rp(base)[0]) >= 2:
+        # every DMC family vs the all-intra anchor (the reference's own
+        # headline comparison: P-frame coding gain over the I-codec)
+        if intra and len(intra) >= 2:
             ir = [p[1] for p in intra]
             ip = [p[2] for p in intra]
-            br, bp = rp(base)
-            try:
-                print(f"BD-rate(DMC vs all-intra, {proto}): "
-                      f"{bd_rate(ir, ip, br, bp):+.1f}%")
-            except ValueError as e:
-                print(f"BD-rate(DMC vs all-intra, {proto}): n/a ({e})")
+            for fam in ("dmc", "dmc_mf5", "dmc_fast", "dmc_fast_mf5"):
+                fr, fp = rp((fam, proto))
+                if len(fr) < 2:
+                    continue
+                try:
+                    print(f"BD-rate({fam} vs all-intra, {proto}): "
+                          f"{bd_rate(ir, ip, fr, fp):+.1f}%")
+                except ValueError as e:
+                    print(f"BD-rate({fam} vs all-intra, {proto}): "
+                          f"n/a ({e})")
         report("fast vs base", base, ("dmc_fast", proto))
         report("mf5 vs base", base, ("dmc_mf5", proto))
         report("fast_mf5 vs fast", ("dmc_fast", proto),
