@@ -172,8 +172,10 @@ def restore_params_export_partial(directory, target: Any):
 # Entropy-model density/offset params where f16 storage rounding would
 # shift CDF tables more than necessary; everything else tolerates f16
 # (codec bit-exactness never depends on storage precision — both codec
-# sides build tables from the same stored values).
-_F32_PATH_TOKENS = ("quantiles", "matrices", "biases", "factors")
+# sides build tables from the same stored values). The tokens match the
+# FactorizedEntropyBottleneck param names matrix_{i}/bias_{i}/factor_{i}/
+# quantiles (entropy/factorized.py) without catching conv 'bias' leaves.
+_F32_PATH_TOKENS = ("quantiles", "matrix_", "bias_", "factor_")
 
 
 def save_npz_export(path, params: Any) -> None:

@@ -34,20 +34,49 @@ REF = "/root/reference/dmc/models"
 # ---------------------------------------------------------------- loading
 
 def _ensure_compressai_stub():
-    """video_model.py imports compressai entropy models at module scope;
-    the pure-torch transform blocks under test never touch them, so a
-    bare stub satisfies the import."""
+    """video_model.py imports compressai entropy models at module scope.
+    The stub is FUNCTIONAL at the parameter level: it registers the same
+    learnable params (same names, same shapes) as compressai's modules, so
+    the full reference DMC constructs and its state_dict carries the
+    complete key namespace the torch-checkpoint importer must map
+    (tests/test_torch_import.py). No entropy math is implemented — the
+    transform-parity tests never call these modules."""
     if "compressai" in sys.modules:
         return
+    import torch.nn as tnn
+
     pkg = types.ModuleType("compressai")
     em = types.ModuleType("compressai.entropy_models")
 
-    class _Stub:  # never instantiated by these tests
-        def __init__(self, *a, **k):
-            raise RuntimeError("compressai stub: not constructible")
+    class EntropyBottleneck(tnn.Module):
+        # param registration mirrors compressai's Ballé density: per-channel
+        # _matrix{i}/_bias{i}/_factor{i} chain + (C, 1, 3) quantiles
+        def __init__(self, channels, *a, filters=(3, 3, 3, 3), **k):
+            super().__init__()
+            f = (1,) + tuple(filters) + (1,)
+            for i in range(len(filters) + 1):
+                self.register_parameter(f"_matrix{i}", tnn.Parameter(
+                    torch.zeros(channels, f[i + 1], f[i])))
+                self.register_parameter(f"_bias{i}", tnn.Parameter(
+                    torch.zeros(channels, f[i + 1], 1)))
+                if i < len(filters):
+                    self.register_parameter(f"_factor{i}", tnn.Parameter(
+                        torch.zeros(channels, f[i + 1], 1)))
+            self.quantiles = tnn.Parameter(torch.zeros(channels, 1, 3))
+            self.register_buffer("_offset", torch.zeros(0))
+            self.register_buffer("_quantized_cdf", torch.zeros(0))
+            self.register_buffer("_cdf_length", torch.zeros(0))
 
-    em.EntropyBottleneck = _Stub
-    em.GaussianConditional = _Stub
+    class GaussianConditional(tnn.Module):
+        def __init__(self, scale_table, *a, **k):
+            super().__init__()
+            self.register_buffer("scale_table", torch.zeros(0))
+            self.register_buffer("_offset", torch.zeros(0))
+            self.register_buffer("_quantized_cdf", torch.zeros(0))
+            self.register_buffer("_cdf_length", torch.zeros(0))
+
+    em.EntropyBottleneck = EntropyBottleneck
+    em.GaussianConditional = GaussianConditional
     pkg.entropy_models = em
     sys.modules["compressai"] = pkg
     sys.modules["compressai.entropy_models"] = em
@@ -89,132 +118,55 @@ def ref_video(ref_layers):
 
 
 # ------------------------------------------------------- weight transfer
+# All mapping logic lives in the production torch-checkpoint importer
+# (deepvideocodec_tpu/tools/torch_import.py); these tests drive it through
+# module.state_dict() so every parity assertion below also validates the
+# importer's state-dict key layout.
 
-def _k(conv2d):
-    """torch Conv2d OIHW -> flax HWIO."""
-    return np.asarray(conv2d.weight.detach().numpy().transpose(2, 3, 1, 0))
+import deepvideocodec_tpu.tools.torch_import as TI
 
 
-def _b(conv2d):
-    return np.asarray(conv2d.bias.detach().numpy())
+def _sd(m):
+    return m.state_dict()
 
 
 def _conv(m):
-    return {"kernel": _k(m), "bias": _b(m)}
+    return TI._conv(_sd(m), "")
 
 
 def _resblock(m):
-    return {"Conv_0": _conv(m.conv1), "Conv_1": _conv(m.conv2)}
-
-
-def _res_stride(m):
-    out = {"Conv_0": _conv(m.conv1), "Conv_1": _conv(m.conv2)}
-    if m.downsample is not None:
-        out["Conv_2"] = _conv(m.downsample)
-    return out
-
-
-def _res_upsample(m):
-    return {
-        "up_kernel": _k(m.subpel_conv[0]),
-        "up_bias": _b(m.subpel_conv[0]),
-        "sc_kernel": _k(m.upsample[0]),
-        "sc_bias": _b(m.upsample[0]),
-        "Conv_0": _conv(m.conv),
-    }
+    return TI._resblock(_sd(m), "")
 
 
 def _subpel(seq):
     """torch subpel_conv1x1/3x3 Sequential(conv, PixelShuffle)."""
-    return {"Conv_0": _conv(seq[0])}
-
-
-def _mebasic(m):
-    out = {}
-    for i, c in enumerate((m.conv1, m.conv2, m.conv3, m.conv4, m.conv5)):
-        out[f"conv{i}_kernel"] = _k(c)
-        out[f"conv{i}_bias"] = _b(c)
-    return out
-
-
-def _se(m):
-    # torch Linear weight is (out, in); flax Dense kernel is (in, out)
-    return {
-        "Dense_0": {"kernel": np.asarray(
-            m.fc[0].weight.detach().numpy().T)},
-        "Dense_1": {"kernel": np.asarray(
-            m.fc[2].weight.detach().numpy().T)},
-    }
+    return TI._subpel(_sd(seq), "")
 
 
 def _conv_block_residual(m):
-    return {
-        "conv1_kernel": _k(m.conv[0]),
-        "conv1_bias": _b(m.conv[0]),
-        "conv2_kernel": _k(m.conv[2]),
-        "conv2_bias": _b(m.conv[2]),
-        "SELayer_0": _se(m.conv[3]),
-        "shortcut_kernel": _k(m.up_dim),
-        "shortcut_bias": _b(m.up_dim),
-    }
+    return TI._conv_block_residual(_sd(m), "")
 
 
 def _unet(m):
-    return {
-        "ConvBlockResidual_0": _conv_block_residual(m.conv1),
-        "ConvBlockResidual_1": _conv_block_residual(m.conv2),
-        "ConvBlockResidual_2": _conv_block_residual(m.conv3),
-        **{f"ResBlock_{i}": _resblock(m.context_refine[i])
-           for i in range(4)},
-        "SubpelConv_0": _subpel(m.up3),
-        "ConvBlockResidual_3": _conv_block_residual(m.up_conv3),
-        "SubpelConv_1": _subpel(m.up2),
-        "ConvBlockResidual_4": _conv_block_residual(m.up_conv2),
-    }
+    return TI._unet(_sd(m), "")
 
 
 def _spynet(m):
-    return {f"level_{i}": _mebasic(m.moduleBasic[i]) for i in range(4)}
+    return TI._spynet(_sd(m), "")
 
 
-def _enc(seq):
-    """reference get_enc_dec_models encoder Sequential."""
-    return {
-        "enc_blocks_0": _res_stride(seq[0]),
-        "enc_blocks_1": _resblock(seq[1]),
-        "enc_blocks_2": _res_stride(seq[2]),
-        "enc_blocks_3": _resblock(seq[3]),
-        "enc_blocks_4": _res_stride(seq[4]),
-        "enc_blocks_5": _resblock(seq[5]),
-        "enc_final": _conv(seq[6]),
-    }
-
-
-def _dec(seq):
-    return {
-        "dec_blocks_0": _resblock(seq[0]),
-        "dec_blocks_1": _res_upsample(seq[1]),
-        "dec_blocks_2": _resblock(seq[2]),
-        "dec_blocks_3": _res_upsample(seq[3]),
-        "dec_blocks_4": _resblock(seq[4]),
-        "dec_blocks_5": _res_upsample(seq[5]),
-        "dec_blocks_6": _resblock(seq[6]),
-        "dec_final": _subpel(seq[7]),
-    }
+def _autoencoder(enc, dec):
+    sd = {f"e.{k}": v for k, v in _sd(enc).items()}
+    sd.update({f"d.{k}": v for k, v in _sd(dec).items()})
+    return TI._autoencoder(sd, "e", "d")
 
 
 def _hyper_enc(seq):
-    return {f"Conv_{i}": _conv(seq[2 * i]) for i in range(5)}
+    return TI._hyper_enc(_sd(seq), "")
 
 
 def _hyper_dec(seq):
-    return {
-        "Conv_0": _conv(seq[0]),
-        "SubpelConv_0": _subpel(seq[2]),
-        "Conv_1": _conv(seq[4]),
-        "SubpelConv_1": _subpel(seq[6]),
-        "Conv_2": _conv(seq[8]),
-    }
+    return TI._hyper_dec(_sd(seq), "")
 
 
 # ----------------------------------------------------------------- utils
@@ -270,7 +222,7 @@ def test_motion_autoencoder_parity(rng, ref_layers):
         y_ref = enc(nchw(mv))
         x_ref = dec(y_ref)
     fm = L.AutoEncoder(out_channels=2, channels=64)
-    params = {"params": {**_enc(enc), **_dec(dec)}}
+    params = {"params": _autoencoder(enc, dec)}
     y = fm.apply(params, jnp.asarray(mv), method=fm.encode)
     assert_close(y, y_ref)
     x = fm.apply(params, y, method=fm.decode)

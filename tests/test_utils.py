@@ -116,6 +116,28 @@ class TestPartialWarmStart:
         np.testing.assert_array_equal(np.asarray(merged["b"]["w"]), 0.0)
         assert hit == ["/a/w"] and any("/b/w" in s for s in skipped)
 
+    def test_npz_keeps_entropy_density_params_f32(self, tmp_path):
+        """Storage-precision contract of save_npz_export: the factorized-
+        density params (matrix_{i}/bias_{i}/factor_{i}/quantiles — names
+        from entropy/factorized.py) must NOT ride f16, while generic conv
+        kernels/biases do. Regression: the f32 allowlist used to spell the
+        tokens 'matrices/biases/factors', matching nothing."""
+        from deepvideocodec_tpu.utils import save_npz_export
+
+        tree = {"eb": {"matrix_0": jnp.full((2, 3, 1), 1e-4),
+                       "bias_0": jnp.ones((2, 3, 1)),
+                       "factor_0": jnp.ones((2, 3, 1)),
+                       "quantiles": jnp.ones((2, 1, 3))},
+                "conv": {"kernel": jnp.ones((3, 3, 2, 2)),
+                         "bias": jnp.ones((2,))}}
+        save_npz_export(tmp_path / "e.npz", tree)
+        with np.load(tmp_path / "e.npz") as data:
+            for key, arr in data.items():
+                if "eb" in key:
+                    assert arr.dtype == np.float32, key
+                else:
+                    assert arr.dtype == np.float16, key
+
     def test_dtype_cast_to_target(self, tmp_path):
         from deepvideocodec_tpu.utils import (
             save_params_export, restore_params_export_partial)
