@@ -60,6 +60,17 @@ def _axon_relay_preflight(timeout_s: float = 180.0) -> None:
                              "(127.0.0.1:8083 refused for "
                              f"{timeout_s:.0f}s) — infrastructure down, "
                              "not a codec regression",
+                    # context for a reader of this failure record: the
+                    # last successful TPU run before the relay died
+                    # (docs/PERFORMANCE.md round-2 table)
+                    "last_measured": {
+                        "value": 1.312, "vs_baseline": 0.875,
+                        "date": "2026-08-17", "variant": "fast",
+                        "weights": "random-init",
+                        "note": "trained weights expected ~1.5-1.7 "
+                                "(payloads shrink ~20x; see "
+                                "docs/PERFORMANCE.md end-state)",
+                    },
                 }))
                 raise SystemExit(3)
             time.sleep(5)

@@ -37,16 +37,22 @@ cd "$WORK"
 
 log() { echo "[campaign3 $(date +%H:%M:%S)] $*"; }
 
+# FT_EXTRA / EVAL_EXTRA: extra CLI args appended to the train / eval
+# commands (e.g. FT_EXTRA="--unet-width 24 --init-partial" for the
+# recon-UNet width RD-trade, with EVAL_EXTRA="--unet-width 24").
+# FT_TAG overrides the checkpoint/results tag when the default
+# dmc[_fast]_mf$MF would collide with an existing run.
 FT_ARGS="--batch-size ${FT_BATCH:-4} --max-frames ${FT_FRAMES:-5} \
   --patch-size ${FT_PATCH:-128} ${FT_PATCH:-128} \
   --num-workers 2 --test-batch-size ${FT_BATCH:-4} -q 6 \
   --intra-checkpoint checkpoints/intra_q6 --name campaign3 \
   --log-every ${FT_LOG:-5} \
-  --start-epoch ${FT_START:-50} -e ${FT_END:-53}"
+  --start-epoch ${FT_START:-50} -e ${FT_END:-53} ${FT_EXTRA:-}"
 
 MF=${FT_FRAMES:-5}   # cascade length keys the tags/results dirs
 ft() {  # $1 = lambda, $2 = variant (base|fast)
   local tag=dmc_mf$MF; [ "$2" = fast ] && tag=dmc_fast_mf$MF
+  tag=${FT_TAG:-$tag}
   # FT_INIT overrides the warm-start source (e.g. chain mf7 from the
   # finished mf5 point instead of the max-frames-3 base).
   local init=${FT_INIT:-checkpoints/dmc/$1.0}
@@ -68,7 +74,7 @@ eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
     --intra-checkpoint checkpoints/intra_q6 \
     --results-dir results/${tag}_$1_gop$3_cpu${EVAL_FRAMES:-24} \
     --cache-dir cache/${tag}_$1_gop$3 \
-    --streams ${EVAL_STREAMS:-1} --per-frame
+    --streams ${EVAL_STREAMS:-1} --per-frame ${EVAL_EXTRA:-}
 }
 
 for L in "${LAMBDAS[@]}"; do

@@ -13,6 +13,10 @@ import argparse
 import os
 import sys
 
+# `python scripts/export_weights.py` puts scripts/ (not the repo root)
+# on sys.path; add the root so the package import works from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # Force the CPU backend: this machine's profile PINS JAX_PLATFORMS=axon
 # (remote TPU), so a setdefault would keep axon and hang/fail when the
 # tunnel is down — and a weight export never needs a TPU.
@@ -35,6 +39,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # The axon sitecustomize imports jax at interpreter startup and
+    # forces jax_platforms="axon,cpu", so the env assignment above is
+    # too late on its own — re-force via config (same trick as bench.py
+    # / tests/conftest.py). Without this the export hangs forever in
+    # backend init when the TPU relay is down.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from deepvideocodec_tpu.models import (
         build_inter_model, fast_init, intra_model_for_quality)

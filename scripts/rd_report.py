@@ -16,6 +16,10 @@ import json
 import sys
 from pathlib import Path
 
+# `python scripts/rd_report.py` puts scripts/ (not the repo root) on
+# sys.path; add the root so the bdrate import works from anywhere.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def load_points(results_dir: Path):
     """(bpp, psnr) dataset-average per quality file, skipping warnings."""
