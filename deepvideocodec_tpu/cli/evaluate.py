@@ -64,6 +64,13 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.model == "intra" and args.gop != 1:
+        # Catch this at the CLI: with no inter codec the first P-frame
+        # would otherwise crash deep in a worker thread (gop-parallel) or
+        # the GOP loop with an opaque NoneType AttributeError.
+        raise SystemExit(
+            "--model intra codes every frame as an I-frame; pass --gop 1 "
+            f"(got --gop {args.gop})")
 
     import jax
     import numpy as np

@@ -78,6 +78,10 @@ def parse_args(argv=None):
                         "ladder; 24 is the next speed/RD trade on the "
                         "docs/PERFORMANCE.md roadmap). Changes the param "
                         "tree — warm-start with --init-partial.")
+    p.add_argument("--debug-nan", action="store_true",
+                   help="enable jax NaN/Inf checking: a non-finite value "
+                        "raises FloatingPointError at the producing op "
+                        "instead of corrupting the loss (slow; debug only)")
     return p.parse_args(argv)
 
 
@@ -96,6 +100,13 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from ..utils.debug import enable_debug_checks, maybe_enable_from_env
+
+    if args.debug_nan:
+        enable_debug_checks()
+    else:
+        maybe_enable_from_env()
 
     from ..data import VideoFolderDataset, Loader
     from ..models import CheckerboardImageCodec
@@ -240,6 +251,11 @@ def main(argv=None):
                                    intra_params=intra_params)),
             )
         train_step, eval_step = step_fns[stage.name]
+
+        # Pin the shuffle epoch explicitly: after a resume the Loader's
+        # internal counter restarts at 0, which would replay the epoch-0
+        # data order instead of continuing the uninterrupted run's.
+        train_loader.set_epoch(epoch)
 
         tic = time.time()
         seen = 0

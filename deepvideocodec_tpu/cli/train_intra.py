@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="resume directory")
     p.add_argument("--name", type=str, default="")
+    p.add_argument("--debug-nan", action="store_true",
+                   help="enable jax NaN/Inf checking: a non-finite value "
+                        "raises FloatingPointError at the producing op "
+                        "instead of corrupting the loss (slow; debug only)")
     return p.parse_args(argv)
 
 
@@ -113,6 +117,13 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from ..utils.debug import enable_debug_checks, maybe_enable_from_env
+
+    if args.debug_nan:
+        enable_debug_checks()
+    else:
+        maybe_enable_from_env()
 
     from ..data import ImageFolderDataset, Loader
     from ..models import fast_init

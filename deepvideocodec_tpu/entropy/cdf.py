@@ -47,10 +47,12 @@ class CdfTable:
     offset: np.ndarray
 
     def __post_init__(self):
-        self.quantized_cdf = np.ascontiguousarray(
-            self.quantized_cdf, np.int32)
-        self.cdf_length = np.ascontiguousarray(self.cdf_length, np.int32)
-        self.offset = np.ascontiguousarray(self.offset, np.int32)
+        # Private copies (np.array copy=True, not ascontiguousarray, which
+        # returns the SAME object for already-contiguous int32 input and
+        # would freeze the caller's own buffers below).
+        self.quantized_cdf = np.array(self.quantized_cdf, np.int32)
+        self.cdf_length = np.array(self.cdf_length, np.int32)
+        self.offset = np.array(self.offset, np.int32)
         # Immutable by contract: the native coder caches acceleration
         # tables per CdfTable instance (entropy/rans.py:_coder_tables);
         # in-place mutation would silently desync them. Rebuild a fresh

@@ -23,6 +23,7 @@ device compute — with replicas sharing one codec object.
 from __future__ import annotations
 
 import io
+import os
 import threading
 import time
 from pathlib import Path
@@ -242,16 +243,27 @@ def evaluate_video_gop_parallel(
 
 
 def _skip_unit(f) -> bool:
-    """Advance past one coded unit; False at clean EOF."""
+    """Advance past one coded unit; False at clean EOF.
+
+    Seeks are bounds-checked against the file size so a container
+    truncated mid-payload fails HERE at scan time (where the offset is
+    known), not later inside a decode worker as a generic rANS error.
+    """
     header = f.read(12)
     if not header:
         return False
     if len(header) != 12:
         raise EOFError("truncated bitstream")
+    size = os.fstat(f.fileno()).st_size
     n = int.from_bytes(header[8:12], "big")
     for _ in range(n):
         (length,) = read_uints(f, 1)
         f.seek(length, 1)
+        if f.tell() > size:
+            raise EOFError(
+                f"truncated bitstream: unit at offset declares a "
+                f"{length}-byte string that overruns the {size}-byte file "
+                f"(ends at {f.tell()})")
     return True
 
 

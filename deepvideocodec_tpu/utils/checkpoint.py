@@ -233,6 +233,16 @@ def restore_npz_export(path, target: Any) -> Any:
             key = jax.tree_util.keystr(p)
             if key not in data:
                 raise KeyError(f"npz export missing param {key}")
-            return jnp.asarray(data[key], dtype=leaf.dtype)
+            arr = data[key]
+            if tuple(arr.shape) != tuple(np.shape(leaf)):
+                # Fail HERE with the param path — a silently-loaded
+                # topology mismatch (e.g. wrong --unet-width) otherwise
+                # surfaces as an opaque XLA conv error far from the cause.
+                raise ValueError(
+                    f"npz export {path}: param {key} has shape "
+                    f"{tuple(arr.shape)} but the target model expects "
+                    f"{tuple(np.shape(leaf))} — wrong topology/variant "
+                    "for these weights?")
+            return jnp.asarray(arr, dtype=leaf.dtype)
 
         return jax.tree_util.tree_map_with_path(pick, target)
