@@ -13,9 +13,14 @@ from the reference are deliberate TPU choices:
     reference's pad-1 semantics exactly (XLA 'SAME' pads asymmetrically for
     stride 2 and would break golden parity).
 
-Weight init follows the reference's codec-wide convention: Xavier-normal with
-gain sqrt(2) for conv kernels and constant 0.01 biases
-(/root/reference/dmc/models/video_model.py:508-513).
+Weight init: torch-DEFAULT kernels (kaiming_uniform(a=sqrt(5))) + constant
+0.01 biases. This is a DELIBERATE deviation from the reference's
+xavier-normal(sqrt(2)) (video_model.py:508-513): with ~40 chained convs,
+additive residuals and no normalization, the xavier scale (~2.4x larger
+std) cold-starts the frame branch at |x_hat| ~ 4e9 — an untrainable 1e24
+RD loss, measured on TPU — while the torch-default scale starts O(1) and
+trains through the full curriculum. See `codec_kernel_init` below and
+docs/PARITY.md §"Initialization". Do NOT "restore" the xavier init.
 """
 
 from __future__ import annotations
@@ -34,15 +39,15 @@ from ..ops import (
     depth_to_space,
 )
 
-# Codec-wide initializers: torch Conv2d/Linear default parity. The
-# reference never overrides init, so its effective init is torch's
+# Codec-wide initializers: torch Conv2d/Linear DEFAULT —
 # kaiming_uniform(a=sqrt(5)): U(+-1/sqrt(fan_in)), variance 1/(3*fan_in)
-# (= variance_scaling(1/3, fan_in, uniform)). This scale matters: the
-# DMC pipeline chains ~40 convs with additive residuals and no
-# normalization, so a variance-preserving init (xavier gain sqrt(2) —
-# used here before) amplifies ~1.4x per layer and cold-starts the frame
-# branch at |x_hat| ~ 1e9 (measured), i.e. an untrainable 1e24 RD loss;
-# the torch-default scale starts it at O(1) like the reference.
+# (= variance_scaling(1/3, fan_in, uniform)). Deliberately NOT the
+# reference's xavier_normal(gain sqrt(2)) (video_model.py:508-513):
+# the DMC pipeline chains ~40 convs with additive residuals and no
+# normalization, so the xavier scale (~2.4x larger std) amplifies
+# ~1.4x per layer and cold-starts the frame branch at |x_hat| ~ 1e9
+# (measured), i.e. an untrainable 1e24 RD loss; the torch-default
+# scale starts it at O(1) and trains through the curriculum.
 codec_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")
 codec_bias_init = nn.initializers.constant(0.01)

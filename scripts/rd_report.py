@@ -77,9 +77,26 @@ def main():
             curves.setdefault(key, []).append(
                 (float(m.group("lam")), bpp, psnr))
 
+    def pareto(bpps, psnrs, label=""):
+        """Keep the Pareto front: BD-rate is defined on monotone RD
+        curves, so strictly-dominated points (another point has <= bpp
+        AND >= psnr) are excluded — the standard practice. Dropped
+        points are PRINTED, never silently eaten: a dominated point is
+        itself a finding (e.g. the 8192 GOP-32 drift inversion)."""
+        pts = sorted(zip(bpps, psnrs))
+        front = []
+        for b, p in pts:  # ascending bpp: keep only if psnr beats every
+            if front and p <= front[-1][1]:  # cheaper point's psnr
+                print(f"  [pareto] {label}: dropped dominated point "
+                      f"(bpp={b:.4f}, psnr={p:.2f})")
+                continue
+            front.append((b, p))
+        return [b for b, _ in front], [p for _, p in front]
+
     def rp(key):
         pts = sorted(curves.get(key, []))
-        return [p[1] for p in pts], [p[2] for p in pts]
+        return pareto([p[1] for p in pts], [p[2] for p in pts],
+                      label="_".join(key))
 
     from deepvideocodec_tpu.eval.bdrate import bd_rate
 
@@ -102,8 +119,8 @@ def main():
         # every DMC family vs the all-intra anchor (the reference's own
         # headline comparison: P-frame coding gain over the I-codec)
         if intra and len(intra) >= 2:
-            ir = [p[1] for p in intra]
-            ip = [p[2] for p in intra]
+            ir, ip = pareto([p[1] for p in intra],
+                            [p[2] for p in intra], label="intra")
             for fam in ("dmc", "dmc_mf5", "dmc_fast", "dmc_fast_mf5"):
                 fr, fp = rp((fam, proto))
                 if len(fr) < 2:

@@ -35,45 +35,119 @@ REF = "/root/reference/dmc/models"
 
 def _ensure_compressai_stub():
     """video_model.py imports compressai entropy models at module scope.
-    The stub is FUNCTIONAL at the parameter level: it registers the same
-    learnable params (same names, same shapes) as compressai's modules, so
-    the full reference DMC constructs and its state_dict carries the
-    complete key namespace the torch-checkpoint importer must map
-    (tests/test_torch_import.py). No entropy math is implemented — the
-    transform-parity tests never call these modules."""
+    The stub is FUNCTIONAL for the forward/likelihood path: it registers
+    the same learnable params (same names/shapes/init) as compressai's
+    modules AND implements the published likelihood math (Ballé
+    cumulative-density chain; Gaussian unit-bin integrals with the 0.11
+    scale floor), so the reference's full assembled DMC.forward runs on
+    CPU torch (tests/test_golden_assembled.py) and its state_dict carries
+    the complete key namespace the torch-checkpoint importer must map
+    (tests/test_torch_import.py). compress()/decompress() (the range-coder
+    surface) are NOT implemented — codec-path parity is covered by our own
+    bit-exact codec tests."""
     if "compressai" in sys.modules:
         return
+    import math as _math
+
     import torch.nn as tnn
 
     pkg = types.ModuleType("compressai")
     em = types.ModuleType("compressai.entropy_models")
 
     class EntropyBottleneck(tnn.Module):
-        # param registration mirrors compressai's Ballé density: per-channel
+        # param layout + init mirror compressai's Ballé density: per-channel
         # _matrix{i}/_bias{i}/_factor{i} chain + (C, 1, 3) quantiles
-        def __init__(self, channels, *a, filters=(3, 3, 3, 3), **k):
+        def __init__(self, channels, *a, filters=(3, 3, 3, 3),
+                     init_scale=10.0, likelihood_bound=1e-9, **k):
             super().__init__()
+            self.filters = tuple(filters)
+            self.likelihood_bound = likelihood_bound
             f = (1,) + tuple(filters) + (1,)
+            scale = init_scale ** (1.0 / (len(filters) + 1))
             for i in range(len(filters) + 1):
+                init = _math.log(_math.expm1(1.0 / scale / f[i + 1]))
                 self.register_parameter(f"_matrix{i}", tnn.Parameter(
-                    torch.zeros(channels, f[i + 1], f[i])))
+                    torch.full((channels, f[i + 1], f[i]), init)))
                 self.register_parameter(f"_bias{i}", tnn.Parameter(
-                    torch.zeros(channels, f[i + 1], 1)))
+                    torch.empty(channels, f[i + 1], 1).uniform_(-0.5, 0.5)))
                 if i < len(filters):
                     self.register_parameter(f"_factor{i}", tnn.Parameter(
                         torch.zeros(channels, f[i + 1], 1)))
-            self.quantiles = tnn.Parameter(torch.zeros(channels, 1, 3))
+            q = torch.tensor([-init_scale, 0.0, init_scale])
+            self.quantiles = tnn.Parameter(
+                q.repeat(channels, 1, 1))
             self.register_buffer("_offset", torch.zeros(0))
             self.register_buffer("_quantized_cdf", torch.zeros(0))
             self.register_buffer("_cdf_length", torch.zeros(0))
 
+        def _get_medians(self):
+            return self.quantiles[:, :, 1:2].detach()
+
+        def _logits_cumulative(self, x):
+            # x: (C, 1, N)
+            logits = x
+            k = len(self.filters)
+            for i in range(k + 1):
+                m = torch.nn.functional.softplus(
+                    getattr(self, f"_matrix{i}"))
+                logits = torch.matmul(m, logits)
+                logits = logits + getattr(self, f"_bias{i}")
+                if i < k:
+                    a = torch.tanh(getattr(self, f"_factor{i}"))
+                    logits = logits + a * torch.tanh(logits)
+            return logits
+
+        def _likelihood(self, v):
+            lower = self._logits_cumulative(v - 0.5)
+            upper = self._logits_cumulative(v + 0.5)
+            sign = -torch.sign(lower + upper).detach()
+            return torch.abs(
+                torch.sigmoid(sign * upper) - torch.sigmoid(sign * lower))
+
+        def forward(self, x):
+            # (B, C, H, W) -> (C, 1, B*H*W), as compressai flattens
+            B, C, H, W = x.shape
+            v = x.permute(1, 0, 2, 3).reshape(C, 1, -1)
+            med = self._get_medians()
+            if self.training:
+                out = v + torch.empty_like(v).uniform_(-0.5, 0.5)
+            else:
+                out = torch.round(v - med) + med
+            lk = torch.clamp(self._likelihood(out),
+                             min=self.likelihood_bound)
+            out = out.reshape(C, B, H, W).permute(1, 0, 2, 3)
+            lk = lk.reshape(C, B, H, W).permute(1, 0, 2, 3)
+            return out, lk
+
     class GaussianConditional(tnn.Module):
-        def __init__(self, scale_table, *a, **k):
+        def __init__(self, scale_table, *a, scale_bound=0.11,
+                     likelihood_bound=1e-9, **k):
             super().__init__()
+            self.scale_bound = scale_bound
+            self.likelihood_bound = likelihood_bound
             self.register_buffer("scale_table", torch.zeros(0))
             self.register_buffer("_offset", torch.zeros(0))
             self.register_buffer("_quantized_cdf", torch.zeros(0))
             self.register_buffer("_cdf_length", torch.zeros(0))
+
+        @staticmethod
+        def _standardized_cumulative(x):
+            return 0.5 * torch.erfc(-(2.0 ** -0.5) * x)
+
+        def forward(self, inputs, scales, means=None):
+            if self.training:
+                out = inputs + torch.empty_like(inputs).uniform_(-0.5, 0.5)
+            elif means is None:
+                out = torch.round(inputs)
+            else:
+                out = torch.round(inputs - means) + means
+            s = torch.clamp(scales, min=self.scale_bound)
+            v = torch.abs(out - means) if means is not None \
+                else torch.abs(out)
+            upper = self._standardized_cumulative((0.5 - v) / s)
+            lower = self._standardized_cumulative((-0.5 - v) / s)
+            lk = torch.clamp(upper - lower, min=self.likelihood_bound)
+            return out, lk
 
     em.EntropyBottleneck = EntropyBottleneck
     em.GaussianConditional = GaussianConditional
