@@ -37,11 +37,53 @@ def parse_args(argv=None):
     p.add_argument("checkpoint", help=".pth.tar (train.py wrapper or bare "
                                       "state_dict)")
     p.add_argument("out", help="output .npz export path")
+    p.add_argument("--kind", choices=["dmc", "cheng2020"], default="dmc",
+                   help="dmc = full reference DMC checkpoint (every tensor "
+                        "maps). cheng2020 = a compressai cheng2020_anchor "
+                        "intra checkpoint: transforms/hyper/density import "
+                        "1:1 and the npz carries them MERGED over a fresh "
+                        "checkerboard head — fine-tune the head with "
+                        "cli.train_intra -m cheng2020 --init-from <out> "
+                        "--init-partial")
+    p.add_argument("--n-channels", type=int, default=192,
+                   help="cheng2020 N (128 for compressai q1-3, 192 for "
+                        "q4-6)")
     return p.parse_args(argv)
+
+
+def _import_cheng2020(args):
+    import jax
+    import torch
+
+    from ..models import Cheng2020CheckerboardCodec, fast_init
+    from ..tools import import_cheng2020_transforms, merge_params
+    from ..utils import save_npz_export
+
+    blob = torch.load(args.checkpoint, map_location="cpu",
+                      weights_only=True)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    imported = import_cheng2020_transforms(blob)
+
+    model = Cheng2020CheckerboardCodec(n=args.n_channels)
+    target = fast_init(model, jax.random.PRNGKey(0))
+    merged = merge_params(target, imported)  # shape-checks every leaf
+
+    n_imported = len(jax.tree_util.tree_leaves(imported))
+    n_total = len(jax.tree_util.tree_leaves(merged))
+    save_npz_export(args.out, merged)
+    print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB): "
+          f"{n_imported}/{n_total} leaves imported from the cheng2020 "
+          f"checkpoint, the rest (checkerboard head) at init — fine-tune "
+          f"with cli.train_intra -m cheng2020 --init-from --init-partial")
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.kind == "cheng2020":
+        _import_cheng2020(args)
+        return
 
     import jax
     import numpy as np

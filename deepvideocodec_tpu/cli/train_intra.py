@@ -27,7 +27,23 @@ def parse_args(argv=None):
     p.add_argument("-d", "--dataset", required=True,
                    help="root with {train,test}/*.png")
     p.add_argument("-m", "--model", default="checkerboard",
-                   choices=["checkerboard", "hyperprior", "factorized"])
+                   choices=["checkerboard", "hyperprior", "factorized",
+                            "cheng2020"],
+                   help="cheng2020 = compressai cheng2020_anchor transform "
+                        "topology + checkerboard head; its transforms can "
+                        "warm-start from an imported reference checkpoint "
+                        "(tools.import_cheng2020_transforms + --init-from "
+                        "--init-partial)")
+    p.add_argument("--n-channels", type=int, default=192,
+                   help="cheng2020 N (128 for compressai q1-3, 192 for "
+                        "q4-6); ignored by the other models")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="warm-start params from an .npz export or "
+                        "checkpoint dir before training")
+    p.add_argument("--init-partial", action="store_true",
+                   help="with --init-from: load every param whose "
+                        "path+shape matches, keep the rest at init (the "
+                        "imported-transforms + fresh-head fine-tune path)")
     p.add_argument("-q", "--quality", type=int, default=None,
                    help="quality operating point: sets (n, m, lambda) from "
                         "models.intra.INTRA_QUALITIES (the reference's "
@@ -53,10 +69,13 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_model(name: str):
+def build_model(name: str, n: int = 192):
     from ..models import (
-        CheckerboardImageCodec, HyperpriorImageCodec, FactorizedImageCodec)
+        CheckerboardImageCodec, HyperpriorImageCodec, FactorizedImageCodec,
+        Cheng2020CheckerboardCodec)
 
+    if name == "cheng2020":
+        return Cheng2020CheckerboardCodec(n=n)
     return {
         "checkerboard": CheckerboardImageCodec,
         "hyperprior": HyperpriorImageCodec,
@@ -162,8 +181,30 @@ def main(argv=None):
 
         model, _ = intra_model_for_quality(args.quality)
     else:
-        model = build_model(args.model)
+        model = build_model(args.model, args.n_channels)
     params = fast_init(model, rng)
+    if args.init_from:
+        if args.init_partial:
+            from ..utils import restore_params_export_partial
+
+            out = restore_params_export_partial(args.init_from, params)
+            if out is None:
+                raise SystemExit(
+                    f"--init-partial needs a params_export or .npz at "
+                    f"{args.init_from}")
+            params, hit, miss = out
+            if not hit:
+                raise SystemExit(
+                    f"--init-partial matched nothing in {args.init_from}")
+            logging.info(
+                "partial warm start from %s: %d leaves loaded, %d kept "
+                "fresh%s", args.init_from, len(hit), len(miss),
+                f" (e.g. {miss[0]})" if miss else "")
+        else:
+            from ..utils import restore_any_params
+
+            params = restore_any_params(args.init_from, params)
+            logging.info("warm-started params from %s", args.init_from)
     tx = make_optimizer(args.learning_rate, args.aux_learning_rate,
                         args.clip_max_norm)
     state = {"step": jnp.zeros((), jnp.int32), "params": params,

@@ -14,6 +14,7 @@ from .intra import (
     FactorizedImageCodec,
     HyperpriorImageCodec,
     CheckerboardImageCodec,
+    Cheng2020CheckerboardCodec,
     INTRA_QUALITIES,
     intra_model_for_quality,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "FactorizedImageCodec",
     "HyperpriorImageCodec",
     "CheckerboardImageCodec",
+    "Cheng2020CheckerboardCodec",
     "INTRA_QUALITIES",
     "intra_model_for_quality",
     "DVC",

@@ -101,9 +101,15 @@ class ContextModelBase(nn.Module):
     y_channels: int = 64
     z_channels: int = 64
 
+    def make_hyper_nets(self):
+        """Factory hook: (hyper_encoder, hyper_decoder). Subclasses with a
+        different hyper topology (e.g. cheng2020's 3x3-subpel decoder,
+        models/intra.py) override this instead of rewriting setup()."""
+        return (HyperEncoder(self.z_channels),
+                HyperDecoder(self.y_channels))
+
     def setup(self):
-        self.hyper_encoder = HyperEncoder(self.z_channels)
-        self.hyper_decoder = HyperDecoder(self.y_channels)
+        self.hyper_encoder, self.hyper_decoder = self.make_hyper_nets()
         self.entropy_bottleneck = FactorizedEntropyBottleneck(
             self.z_channels)
         # Subclasses add y_prior_fusion / y_spatial_prior (+ extras) with

@@ -133,10 +133,10 @@ def _dcvc_plan(model, h, w):
     ]
 
 
-def _checkerboard_intra_plan(model, h, w):
+def _checkerboard_intra_plan(model, h, w, y_channels=None):
     hh, ww = h // 16, w // 16
     zh, zw = hh // 4, ww // 4
-    m = model.m
+    m = y_channels or model.m
     y = _f32(1, hh, ww, m)
     full = _f32(1, hh, ww, m)
     half = _f32(1, hh, ww, m // 2)
@@ -160,6 +160,10 @@ _PLANS = {
     "DVC": _dvc_plan,
     "DCVC": _dcvc_plan,
     "CheckerboardImageCodec": _checkerboard_intra_plan,
+    # cheng2020 topology: y has N (not M) channels, same staged API
+    "Cheng2020CheckerboardCodec": (
+        lambda model, h, w: _checkerboard_intra_plan(
+            model, h, w, y_channels=model.n)),
     "FactorizedImageCodec": _single_stage_plan,
     "HyperpriorImageCodec": _single_stage_plan,
 }

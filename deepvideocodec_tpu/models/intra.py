@@ -321,6 +321,124 @@ class CheckerboardImageCodec(nn.Module):
         return self.context_model.aux_loss()
 
 
+class ChengResidualBlockWithStride(nn.Module):
+    """compressai-cheng2020 RBS: conv-leaky-conv-GDN + strided 1x1 skip.
+
+    Differs from layers.ResidualBlockWithStride (the DMC-reference
+    variant, /root/reference/dmc/models/layers.py:84-115) in the second
+    nonlinearity: GDN instead of LeakyReLU(0.1). Param layout is the
+    import target of tools/torch_import.import_cheng2020_transforms.
+    """
+
+    features: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv(self.features, 3, self.stride)(x)
+        out = leaky_relu(out, 0.01)
+        out = conv(self.features)(out)
+        out = GDN()(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = conv(self.features, 1, self.stride)(x)
+        return out + x
+
+
+class ChengResidualBlockUpsample(nn.Module):
+    """compressai-cheng2020 RBU: subpel3x3-leaky-conv-IGDN + subpel skip."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv(self.features, 2, kernel=3)(x)
+        out = leaky_relu(out, 0.01)
+        out = conv(self.features)(out)
+        out = GDN(inverse=True)(out)
+        sc = SubpelConv(self.features, 2, kernel=3)(x)
+        return out + sc
+
+
+class Cheng2020Analysis(nn.Module):
+    """cheng2020_anchor g_a: (RBS-GDN, RB) x3 + conv3x3 stride 2, all N ch."""
+
+    n: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(3):
+            x = ChengResidualBlockWithStride(self.n)(x)
+            x = ResidualBlockSimple(self.n)(x)
+        return conv(self.n, 3, 2)(x)
+
+
+class Cheng2020Synthesis(nn.Module):
+    """cheng2020_anchor g_s: (RB, RBU-IGDN) x3 + RB + subpel3x3 to RGB."""
+
+    n: int = 192
+
+    @nn.compact
+    def __call__(self, y):
+        for _ in range(3):
+            y = ResidualBlockSimple(self.n)(y)
+            y = ChengResidualBlockUpsample(self.n)(y)
+        y = ResidualBlockSimple(self.n)(y)
+        return SubpelConv(3, 2, kernel=3)(y)
+
+
+class Cheng2020HyperDecoder(nn.Module):
+    """cheng2020 h_s: same ladder as layers.HyperDecoder but with 3x3
+    subpel convs (the DMC video hyper uses subpel_conv1x1 — reference
+    layers.py:382-393 vs compressai cheng2020's subpel_conv3x3)."""
+
+    y_channels: int
+
+    @nn.compact
+    def __call__(self, z):
+        y = leaky_relu(conv(self.y_channels)(z))
+        y = leaky_relu(SubpelConv(self.y_channels, 2, kernel=3)(y))
+        y = leaky_relu(conv(self.y_channels * 3 // 2)(y))
+        y = leaky_relu(SubpelConv(self.y_channels * 3 // 2, 2, kernel=3)(y))
+        return conv(self.y_channels * 2, dtype=jnp.float32)(y)
+
+
+class Cheng2020ContextModel(IntraContextModel):
+    """Checkerboard context model with the cheng2020 hyper decoder."""
+
+    def make_hyper_nets(self):
+        from .layers import HyperEncoder
+
+        return (HyperEncoder(self.z_channels),
+                Cheng2020HyperDecoder(self.y_channels))
+
+
+class Cheng2020CheckerboardCodec(CheckerboardImageCodec):
+    """cheng2020_anchor's exact transform/hyper topology + our checkerboard.
+
+    Purpose: make a pretrained compressai `cheng2020_anchor` checkpoint's
+    weights importable. The analysis/synthesis transforms (GDN residual
+    blocks, N=M), the conv3x3 hyper pair, and the factorized bottleneck
+    density import 1:1 via tools/torch_import.import_cheng2020_transforms
+    (reference usage: /root/reference/dmc/train.py:564-569); only the
+    autoregressive context head — serial raster scan, O(H*W) decode — is
+    re-designed as the two-pass checkerboard and must be fine-tuned
+    (cli.train_intra --init-from <merged npz> --init-partial). The staged
+    codec API (encode_latent ... decode_reconstruct) is inherited, so
+    eval/codec.IntraCodec drives this model unchanged.
+
+    `n` is compressai's N (128 for qualities 1-3, 192 for 4-6); the `m`
+    field is ignored (cheng2020 has M == N).
+    """
+
+    def setup(self):
+        from .layers import set_compute_dtype
+        set_compute_dtype(self.dtype)
+        self.g_a = Cheng2020Analysis(self.n)
+        self.g_s = Cheng2020Synthesis(self.n)
+        self.context_model = Cheng2020ContextModel(
+            y_channels=self.n, z_channels=self.n)
+
+
 # Quality ladder. The reference maps its -q flag to CompressAI's pretrained
 # cheng2020_anchor(quality, pretrained=True) (/root/reference/dmc/train.py:
 # 564-569, test.py:108-110). This framework ships no external zoo, so -q

@@ -2,7 +2,14 @@
 
 from .torch_import import (  # noqa: F401
     import_dmc_state_dict,
+    import_cheng2020_transforms,
     load_reference_checkpoint,
+    merge_params,
 )
 
-__all__ = ["import_dmc_state_dict", "load_reference_checkpoint"]
+__all__ = [
+    "import_dmc_state_dict",
+    "import_cheng2020_transforms",
+    "load_reference_checkpoint",
+    "merge_params",
+]

@@ -26,11 +26,15 @@ Layout/semantic transforms applied per parameter:
     replacing the reference's update()/update_registered_buffers lifecycle
     (docs/PARITY.md).
 
-The intra codec is NOT importable: the reference delegates I-frames to
-compressai's pretrained `cheng2020_anchor` (train.py:564-569), whose
-autoregressive context model this framework deliberately replaces with a
-parallel checkerboard architecture (models/intra.py) — the weight spaces
-are incompatible by design. Train the intra ladder via cli.train_intra.
+The intra codec imports PARTIALLY: the reference delegates I-frames to
+compressai's pretrained `cheng2020_anchor` (train.py:564-569). Its
+transforms, hyper pair, and bottleneck density import 1:1 into
+`models.intra.Cheng2020CheckerboardCodec` (import_cheng2020_transforms);
+only the autoregressive context head has no counterpart — this framework
+deliberately replaces the O(H*W) raster scan with a two-pass checkerboard
+— so the head fine-tunes on top of the imported transforms
+(cli.train_intra --init-from --init-partial, with merge_params providing
+the merged tree).
 """
 
 from __future__ import annotations
@@ -316,6 +320,106 @@ def import_dmc_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             sd, "recon_generation_net"),
     }
     return {"params": params}
+
+
+def _gdn(sd, p):
+    """compressai GDN -> models/gdn.GDN params.
+
+    Both sides store the SAME sqrt-reparameterized values (sqrt(v +
+    2^-18), squared with a lower bound on use), so beta/gamma copy
+    verbatim; gamma transposes because torch's conv2d weight is
+    gamma[out=i, in=j] while our einsum contracts gamma[j, i].
+    """
+    return {"beta": _np(sd[_j(p, "beta")]),
+            "gamma": _np(sd[_j(p, "gamma")]).T}
+
+
+def _cheng_rbs(sd, p):
+    """compressai ResidualBlockWithStride (conv-leaky-conv-GDN + skip)."""
+    out = {"Conv_0": _conv(sd, _j(p, "conv1")),
+           "Conv_1": _conv(sd, _j(p, "conv2")),
+           "GDN_0": _gdn(sd, _j(p, "gdn"))}
+    for skip in ("skip", "downsample"):  # spelling varies by version
+        if _j(p, f"{skip}.weight") in sd:
+            out["Conv_2"] = _conv(sd, _j(p, skip))
+            return out
+    raise KeyError(f"no skip/downsample conv under '{p}.'")
+
+
+def _cheng_rbu(sd, p):
+    """compressai ResidualBlockUpsample (subpel-leaky-conv-IGDN + subpel)."""
+    return {"SubpelConv_0": _subpel(sd, _j(p, "subpel_conv")),
+            "Conv_0": _conv(sd, _j(p, "conv")),
+            "GDN_0": _gdn(sd, _j(p, "igdn")),
+            "SubpelConv_1": _subpel(sd, _j(p, "upsample"))}
+
+
+def import_cheng2020_transforms(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """compressai cheng2020_anchor state_dict -> the importable subtree of
+    models.intra.Cheng2020CheckerboardCodec params.
+
+    Imports every tensor that has a 1:1 home: g_a / g_s (GDN residual
+    transforms), h_a / h_s (the conv3x3 hyper pair — identical topology
+    to the DMC video hyper), and the entropy_bottleneck density. The
+    reference consumes exactly this model pretrained
+    (/root/reference/dmc/train.py:564-569, test.py:108-110). NOT
+    imported (no structural counterpart, by design):
+    `context_prediction` (masked-conv autoregressive context — replaced
+    by the two-pass checkerboard) and `entropy_parameters` (its fusion
+    head, whose input includes the masked-conv features); the
+    checkerboard head trains on top of the frozen-importable transforms
+    via cli.train_intra --init-from/--init-partial. GaussianConditional
+    buffers are CDF tables, rebuilt from params here (entropy/cdf.py).
+    """
+    sd = {re.sub(r"^module\.", "", k): v for k, v in state_dict.items()}
+    g_a: Dict[str, Any] = {}
+    for i in range(3):
+        g_a[f"ChengResidualBlockWithStride_{i}"] = _cheng_rbs(
+            sd, f"g_a.{2 * i}")
+        g_a[f"ResidualBlockSimple_{i}"] = _resblock(sd, f"g_a.{2 * i + 1}")
+    g_a["Conv_0"] = _conv(sd, "g_a.6")
+    g_s: Dict[str, Any] = {}
+    for i in range(3):
+        g_s[f"ResidualBlockSimple_{i}"] = _resblock(sd, f"g_s.{2 * i}")
+        g_s[f"ChengResidualBlockUpsample_{i}"] = _cheng_rbu(
+            sd, f"g_s.{2 * i + 1}")
+    g_s["ResidualBlockSimple_3"] = _resblock(sd, "g_s.6")
+    g_s["SubpelConv_0"] = _subpel(sd, "g_s.7")
+    return {"params": {
+        "g_a": g_a,
+        "g_s": g_s,
+        "context_model": {
+            "hyper_encoder": _hyper_enc(sd, "h_a"),
+            "hyper_decoder": _hyper_dec(sd, "h_s"),
+            "entropy_bottleneck": _entropy_bottleneck(
+                sd, "entropy_bottleneck"),
+        },
+    }}
+
+
+def merge_params(base: Dict[str, Any], imported: Mapping[str, Any],
+                 _path: str = "") -> Dict[str, Any]:
+    """Deep-merge an imported partial param tree over an init tree.
+
+    Leaves present in `imported` replace `base`'s (shape-checked);
+    everything else — e.g. the checkerboard head after a cheng2020
+    transform import — keeps its init, ready for fine-tuning.
+    """
+    out = dict(base)
+    for k, v in imported.items():
+        path = f"{_path}/{k}"
+        if k not in base:
+            raise KeyError(f"imported param {path} not in the target tree")
+        if isinstance(v, Mapping):
+            out[k] = merge_params(base[k], v, path)
+        else:
+            tgt = np.shape(base[k])
+            if tuple(np.shape(v)) != tuple(tgt):
+                raise ValueError(
+                    f"imported param {path}: shape {np.shape(v)} vs "
+                    f"target {tgt}")
+            out[k] = np.asarray(v, dtype=np.asarray(base[k]).dtype)
+    return out
 
 
 def load_reference_checkpoint(path: str) -> Dict[str, Any]:
