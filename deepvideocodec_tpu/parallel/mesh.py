@@ -145,6 +145,12 @@ def make_parallel_train_step(
     def train_step(state: TrainState, batch, rng):
         return jitted(state, batch, rng, lmbda_arr)
 
+    # AOT hooks: callers that need ahead-of-time compilation artifacts
+    # (e.g. __graft_entry__'s dryrun serialized-executable cache) can
+    # lower/compile the underlying jitted fn with the full argument list
+    # (state, batch, rng, *static_args).
+    train_step.jitted = jitted
+    train_step.static_args = (lmbda_arr,)
     return train_step
 
 

@@ -80,6 +80,7 @@ eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
 for L in "${LAMBDAS[@]}"; do
   ft "$L" "${FT_VARIANT:-base}"
   tag=dmc_mf$MF; [ "${FT_VARIANT:-base}" = fast ] && tag=dmc_fast_mf$MF
+  tag=${FT_TAG:-$tag}   # keep evals pointed at the FT_TAG checkpoint
   eval_dmc "$L" "${FT_VARIANT:-base}" 8 "$tag"
   eval_dmc "$L" "${FT_VARIANT:-base}" 32 "$tag"
 done
