@@ -61,6 +61,16 @@ class DMCConfig:
     #     (x2 values); quarters motion-estimation cost.
     warp_ctx_half: bool = False
     flow_half: bool = False
+    #   ctx_lite: drop the full-resolution ResBlocks on the context-mining
+    #     path (FeatureExtractor's l1 tail, the fusion net's c1 output
+    #     branch) — 4 of the ~10 full-res C=n convs outside the recon
+    #     UNets, which docs/PERFORMANCE.md's conv table puts at their
+    #     formulation floor (half the MXU lanes at C=64).
+    #   recon_single_unet: one recon UNet instead of the reference's two
+    #     (video_model.py:112-125) — dec_fr_recon is the second-largest
+    #     decode stage (160 ms at 1080p).
+    ctx_lite: bool = False
+    recon_single_unet: bool = False
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
@@ -75,22 +85,44 @@ def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
 
 
 class FeatureExtractor(nn.Module):
-    """3-scale (/1, /2, /4) feature pyramid of the reference feature."""
+    """3-scale (/1, /2, /4) feature pyramid of the reference feature.
+
+    `lite` (DMCConfig.ctx_lite) drops l1's full-resolution ResBlock —
+    its two C=channels convs run at half the MXU lanes and are the
+    stage's cost center (docs/PERFORMANCE.md conv table); the /2 and /4
+    levels keep the reference ladder.
+    """
 
     channels: int = 64
+    lite: bool = False
 
     @nn.compact
     def __call__(self, feature):
-        l1 = ResBlock(self.channels)(conv(self.channels)(feature))
-        l2 = ResBlock(self.channels)(conv(self.channels, 3, 2)(l1))
-        l3 = ResBlock(self.channels)(conv(self.channels, 3, 2)(l2))
+        # Explicit ResBlock names: flax auto-names are per-type counters,
+        # so skipping l1's block in lite mode would silently shift
+        # "ResBlock_0" onto the l2 block — corrupting any path+shape
+        # partial warm start from base/fast weights (all blocks here are
+        # shape-identical). The explicit names pin the base layout.
+        l1 = conv(self.channels)(feature)
+        if not self.lite:
+            l1 = ResBlock(self.channels, name="ResBlock_0")(l1)
+        l2 = conv(self.channels, 3, 2)(l1)
+        l2 = ResBlock(self.channels, name="ResBlock_1")(l2)
+        l3 = conv(self.channels, 3, 2)(l2)
+        l3 = ResBlock(self.channels, name="ResBlock_2")(l3)
         return l1, l2, l3
 
 
 class MultiScaleContextFusion(nn.Module):
-    """Cross-scale fusion of the three warped contexts (residual form)."""
+    """Cross-scale fusion of the three warped contexts (residual form).
+
+    `lite` (DMCConfig.ctx_lite) drops the ResBlock on the full-resolution
+    c1 output branch (the only full-res compute in this module); the /2
+    and /4 branches keep the reference ladder.
+    """
 
     channels: int = 64
+    lite: bool = False
 
     @nn.compact
     def __call__(self, context1, context2, context3):
@@ -101,7 +133,9 @@ class MultiScaleContextFusion(nn.Module):
         c2_up = ResBlock(c)(SubpelConv(c, 2)(cat32))
         c2_out = ResBlock(c)(conv(c)(cat32))
         cat21 = jnp.concatenate([c2_up, context1], axis=-1)
-        c1_out = ResBlock(c)(conv(c)(cat21))
+        c1_out = conv(c)(cat21)
+        if not self.lite:
+            c1_out = ResBlock(c)(c1_out)
         return context1 + c1_out, context2 + c2_out, context3 + c3_out
 
 
@@ -158,13 +192,15 @@ class ReconGeneration(nn.Module):
 
     channels: int = 64
     unet_width: int = 32
+    single_unet: bool = False  # DMCConfig.recon_single_unet
 
     @nn.compact
     def __call__(self, res, ctx):
         res = res.astype(ctx.dtype) if res.dtype != ctx.dtype else res
         f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
         f = UNet(self.channels, self.unet_width)(f)
-        f = UNet(self.channels, self.unet_width)(f)
+        if not self.single_unet:
+            f = UNet(self.channels, self.unet_width)(f)
         recon = conv(3, dtype=jnp.float32)(f)  # pixels: f32
         # feature_ref lives in the DPB (fixed f32 pytree)
         return f.astype(jnp.float32), recon
@@ -185,13 +221,15 @@ class DMC(nn.Module):
             y_channels=c.ch_mv, z_channels=c.ch_mv)
         self.feature_adaptor_i = conv(c.n)
         self.feature_adaptor_p = conv(c.n, 1)
-        self.feature_extractor = FeatureExtractor(c.n)
-        self.context_fusion_net = MultiScaleContextFusion(c.n)
+        self.feature_extractor = FeatureExtractor(c.n, lite=c.ctx_lite)
+        self.context_fusion_net = MultiScaleContextFusion(
+            c.n, lite=c.ctx_lite)
         self.contextual_encoder = ContextualEncoder(c.n, c.m)
         self.contextual_decoder = ContextualDecoder(c.n, c.m)
         self.frame_context_model = FrameContextModel(
             y_channels=c.m, z_channels=c.n)
-        self.recon_generation_net = ReconGeneration(c.n, c.unet_width)
+        self.recon_generation_net = ReconGeneration(
+            c.n, c.unet_width, single_unet=c.recon_single_unet)
 
     # -- shared sub-graphs ---------------------------------------------------
 

@@ -17,7 +17,10 @@ def build_inter_model(name: str, variant: str = "base",
 
     `variant="fast"` enables the speed/RD architecture pair
     (DMCConfig.warp_ctx_half + flow_half — docs/PERFORMANCE.md);
-    `unet_width` overrides the recon UNet base width. Both are
+    `variant="fast2"` additionally drops the full-res context ResBlocks
+    and the second recon UNet (DMCConfig.ctx_lite + recon_single_unet —
+    the next ranked device-compute cuts; RD to be trained/measured).
+    `unet_width` overrides the recon UNet base width. All are
     DMC-topology knobs; passing them for DVC/DCVC raises ValueError.
     """
     from .dmc import DMC, DMCConfig
@@ -26,8 +29,10 @@ def build_inter_model(name: str, variant: str = "base",
 
     if name == "dmc":
         kw = {}
-        if variant == "fast":
+        if variant in ("fast", "fast2"):
             kw.update(warp_ctx_half=True, flow_half=True)
+            if variant == "fast2":
+                kw.update(ctx_lite=True, recon_single_unet=True)
         elif variant != "base":
             raise ValueError(f"unknown variant {variant!r}")
         if unet_width is not None:

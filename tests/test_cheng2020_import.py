@@ -202,3 +202,50 @@ def test_import_rejects_wrong_width(pair):
     with pytest.raises(ValueError, match="shape"):
         merge_params(variables, import_cheng2020_transforms(
             tm.state_dict()))
+
+def test_cli_import_and_head_finetune(pair, tmp_path, monkeypatch):
+    """End-to-end surface test: cli.import_torch --kind cheng2020 writes a
+    merged npz, and cli.train_intra -m cheng2020 --init-from --init-partial
+    warm-starts and trains one epoch on it (the pretrained-I-frame flow the
+    reference gets from compressai, /root/reference/dmc/train.py:564-569)."""
+    from PIL import Image
+
+    from deepvideocodec_tpu.cli import import_torch as import_cli
+    from deepvideocodec_tpu.cli import train_intra as train_cli
+
+    tm, fm, merged = pair
+    ckpt = tmp_path / "cheng2020_anchor.pth.tar"
+    torch.save({"state_dict": tm.state_dict()}, ckpt)
+    out = tmp_path / "cheng.npz"
+    import_cli.main([str(ckpt), str(out), "--kind", "cheng2020",
+                     "--n-channels", str(N)])
+    assert out.exists()
+
+    # imported transform leaf survives the npz round trip (f16 storage)
+    from deepvideocodec_tpu.utils import restore_npz_export
+
+    target = fast_init(fm, jax.random.PRNGKey(0))
+    restored = restore_npz_export(str(out), target)
+    got = restored["params"]["g_a"]["Conv_0"]["kernel"]
+    want = tm.g_a[6].weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-2)
+
+    # one fine-tune epoch from the merged npz (shapes match the verify
+    # recipe's drive so the XLA programs are persistent-cache warm)
+    rng_img = np.random.default_rng(7)
+    for split, n_img in (("train", 4), ("test", 2)):
+        d = tmp_path / "images" / split
+        d.mkdir(parents=True)
+        for i in range(n_img):
+            arr = (rng_img.random((96, 96, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+    # checkpoints land cwd-relative under checkpoints/intra_<model>/<lmbda>
+    monkeypatch.chdir(tmp_path)
+    train_cli.main([
+        "-d", str(tmp_path / "images"), "-m", "cheng2020",
+        "--n-channels", str(N), "--init-from", str(out), "--init-partial",
+        "--batch-size", "2", "-e", "1", "--patch-size", "64", "64",
+        "--num-workers", "0", "--name", "t"])
+    exports = list((tmp_path / "checkpoints").glob(
+        "intra_cheng2020/*/params_export"))
+    assert exports, "fine-tune epoch must write a best-params export"

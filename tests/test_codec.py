@@ -265,14 +265,23 @@ class TestOddResolution:
         assert np.isfinite(stats["psnr"])
 
 
+_VARIANT_FLAGS = {
+    "fast": dict(warp_ctx_half=True, flow_half=True),
+    "fast2": dict(warp_ctx_half=True, flow_half=True,
+                  ctx_lite=True, recon_single_unet=True),
+}
+
+
+@pytest.mark.parametrize("flags", _VARIANT_FLAGS.values(),
+                         ids=_VARIANT_FLAGS.keys())
 class TestVariantRoundTrip:
     """The speed/RD architecture variants (DMCConfig.warp_ctx_half /
-    flow_half) must preserve the codec's bit-exact encoder/decoder
-    symmetry — they change the graph, not the coding contract."""
+    flow_half / ctx_lite / recon_single_unet) must preserve the codec's
+    bit-exact encoder/decoder symmetry — they change the graph, not the
+    coding contract."""
 
-    def test_variant_pframe_bit_exact_dpb(self):
-        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16,
-                        warp_ctx_half=True, flow_half=True)
+    def test_variant_pframe_bit_exact_dpb(self, flags):
+        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16, **flags)
         model = DMC(cfg=cfg)
         params = fast_init(model, KEY)
         codec = DmcCodec(model, params)
@@ -299,9 +308,8 @@ class TestVariantRoundTrip:
                 np.asarray(enc_dpb2[k]), np.asarray(dec_dpb2[k]),
                 err_msg=f"variant frame-2 DPB field {k} drifted")
 
-    def test_variant_training_forward_finite(self):
-        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16,
-                        warp_ctx_half=True, flow_half=True)
+    def test_variant_training_forward_finite(self, flags):
+        cfg = DMCConfig(ch_mv=16, n=16, m=24, unet_width=16, **flags)
         model = DMC(cfg=cfg)
         frames = jax.random.uniform(KEY, (1, 3, 64, 64, 3))
         params = fast_init(model, KEY)
