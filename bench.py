@@ -154,10 +154,26 @@ def main():
     ckpt = os.environ.get("BENCH_CHECKPOINT")
     npz = os.environ.get("BENCH_NPZ", None if ckpt else default_npz)
     ckpt_loaded = False
+    # BENCH_PARTIAL=1: shape-tolerant warm start — bench a topology
+    # variant (fast2 / --unet-width trades) whose param tree is a strict
+    # subset of a committed export's. Trained entropy/transform weights
+    # keep the payload sizes realistic; only the changed modules run
+    # fresh-init.
+    partial = os.environ.get("BENCH_PARTIAL") == "1"
     if npz and not ckpt:
-        from deepvideocodec_tpu.utils import restore_npz_export
+        if partial:
+            from deepvideocodec_tpu.utils import (
+                restore_params_export_partial)
 
-        params = restore_npz_export(npz, params)
+            import sys
+
+            params, hit, miss = restore_params_export_partial(npz, params)
+            print(f"partial restore: {len(hit)} loaded, {len(miss)} fresh",
+                  file=sys.stderr, flush=True)
+        else:
+            from deepvideocodec_tpu.utils import restore_npz_export
+
+            params = restore_npz_export(npz, params)
         ckpt_loaded = True
     elif ckpt:
         from deepvideocodec_tpu.utils import restore_any_params
@@ -290,7 +306,8 @@ def main():
                   "(real bitstream, XLA:CPU 1-core fallback — TPU relay "
                   "down)")
     else:
-        metric = (f"1080p {model_name.upper()} enc+dec frames/sec/chip "
+        size = "1080p" if (h, w) == (1080, 1920) else f"{h}x{w}"
+        metric = (f"{size} {model_name.upper()} enc+dec frames/sec/chip "
                   "(real bitstream)")
     print(json.dumps({
         "metric": metric,
