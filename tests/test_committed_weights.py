@@ -63,12 +63,15 @@ def intra_codec():
                 params=DMC_EXPORTS or ["missing"],
                 ids=[os.path.basename(p) for p in DMC_EXPORTS] or None)
 def dmc_codec(request):
-    from deepvideocodec_tpu.models import DMC, DMCConfig, fast_init
+    from deepvideocodec_tpu.models import fast_init
+    from deepvideocodec_tpu.models.factory import build_inter_model
     from deepvideocodec_tpu.eval.codec import DmcCodec
     from deepvideocodec_tpu.utils import restore_any_params
 
-    fast = "fast" in os.path.basename(request.param)
-    model = DMC(cfg=DMCConfig(warp_ctx_half=fast, flow_half=fast))
+    name = os.path.basename(request.param)
+    variant = ("fast2" if "fast2" in name
+               else "fast" if "fast" in name else "base")
+    model = build_inter_model("dmc", variant)
     params = restore_any_params(
         request.param, fast_init(model, jax.random.PRNGKey(0)))
     return DmcCodec(model, params)
