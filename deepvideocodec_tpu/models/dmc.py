@@ -71,6 +71,34 @@ class DMCConfig:
     #     decode stage (160 ms at 1080p).
     ctx_lite: bool = False
     recon_single_unet: bool = False
+    #   Round-3 cut set ("fast3" = fast2 + the three below). Each keeps the
+    #   shared param paths of the fast2 tree (fresh leaves only where the
+    #   graph genuinely diverges) so --init-partial warm starts work.
+    #   mv_half_dec: the motion synthesis ladder stops at /2 (layers.py:
+    #     AutoEncoder.half_out) — under warp_ctx_half every consumer of the
+    #     decoded flow (c1/c2 warps at /2, c3 at /4) operates at <= /2, so
+    #     the full-res synthesis stage + the immediate /2 downsample it fed
+    #     are dead compute. Requires warp_ctx_half.
+    #   ctx_half: context1 is mined, fused and consumed at /2 everywhere
+    #     (fusion's c1 branch, the contextual encoder's conditioning, the
+    #     recon ctx input) instead of being upsampled to full res right
+    #     after the /2 warp. Removes the remaining full-res convs on the
+    #     context path. Requires warp_ctx_half.
+    #   recon_half: the recon UNet runs at /2 (the contextual decoder's
+    #     final upsample is deferred past it); a subpel conv lifts the
+    #     refined /2 feature to the full-res DPB feature, from which the
+    #     RGB head reads. Moves the widest lane-bound full-res convs in
+    #     the model (UNet C<=32 @ 5.4 TF/s — docs/PERFORMANCE.md) to /2.
+    mv_half_dec: bool = False
+    ctx_half: bool = False
+    recon_half: bool = False
+
+    def __post_init__(self):
+        if (self.mv_half_dec or self.ctx_half) and not self.warp_ctx_half:
+            raise ValueError(
+                "mv_half_dec/ctx_half assume the /2 context-mining path "
+                "(warp_ctx_half=True): without it the full-res flow is a "
+                "live consumer and the cut is incorrect")
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
@@ -119,52 +147,100 @@ class MultiScaleContextFusion(nn.Module):
     `lite` (DMCConfig.ctx_lite) drops the ResBlock on the full-resolution
     c1 output branch (the only full-res compute in this module); the /2
     and /4 branches keep the reference ladder.
+
+    `c1_half` (DMCConfig.ctx_half): context1 arrives AND leaves at /2, so
+    the c1 branch runs at /2 — the c2->c1 hand-up becomes a same-scale
+    conv (fresh "c2_up_half" leaf) instead of a subpel upsample, and the
+    cat21 conv keeps its exact base shape (128->c) and path. Unchanged
+    branches are constructed with their base auto-names pinned explicitly
+    so partial warm starts from base/fast/fast2 trees stay aligned.
     """
 
     channels: int = 64
     lite: bool = False
+    c1_half: bool = False
 
     @nn.compact
     def __call__(self, context1, context2, context3):
         c = self.channels
-        c3_up = ResBlock(c)(SubpelConv(c, 2)(context3))
-        c3_out = ResBlock(c)(conv(c)(context3))
+        if not self.c1_half:
+            c3_up = ResBlock(c)(SubpelConv(c, 2)(context3))
+            c3_out = ResBlock(c)(conv(c)(context3))
+            cat32 = jnp.concatenate([c3_up, context2], axis=-1)
+            c2_up = ResBlock(c)(SubpelConv(c, 2)(cat32))
+            c2_out = ResBlock(c)(conv(c)(cat32))
+            cat21 = jnp.concatenate([c2_up, context1], axis=-1)
+            c1_out = conv(c)(cat21)
+            if not self.lite:
+                c1_out = ResBlock(c)(c1_out)
+            return (context1 + c1_out, context2 + c2_out,
+                    context3 + c3_out)
+        # /2-native c1 branch. Base auto-names pinned on shared modules.
+        c3_up = ResBlock(c, name="ResBlock_0")(
+            SubpelConv(c, 2, name="SubpelConv_0")(context3))
+        c3_out = ResBlock(c, name="ResBlock_1")(
+            conv(c, name="Conv_0")(context3))
         cat32 = jnp.concatenate([c3_up, context2], axis=-1)
-        c2_up = ResBlock(c)(SubpelConv(c, 2)(cat32))
-        c2_out = ResBlock(c)(conv(c)(cat32))
+        c2_up = ResBlock(c, name="ResBlock_2")(
+            conv(c, name="c2_up_half")(cat32))  # same scale: no subpel
+        c2_out = ResBlock(c, name="ResBlock_3")(
+            conv(c, name="Conv_1")(cat32))
         cat21 = jnp.concatenate([c2_up, context1], axis=-1)
-        c1_out = conv(c)(cat21)
+        c1_out = conv(c, name="Conv_2")(cat21)
         if not self.lite:
-            c1_out = ResBlock(c)(c1_out)
+            c1_out = ResBlock(c, name="ResBlock_4")(c1_out)
         return context1 + c1_out, context2 + c2_out, context3 + c3_out
 
 
 class ContextualEncoder(nn.Module):
-    """Frame analysis transform conditioned on the temporal contexts (/16)."""
+    """Frame analysis transform conditioned on the temporal contexts (/16).
+
+    `c1_half` (DMCConfig.ctx_half): context1 arrives at /2, so the
+    full-res stage convolves the frame alone (fresh 3->n "in_x_half"
+    leaf) and context1 is injected by a 1x1 projection at /2 — the
+    full-res concat conv over 3+n channels disappears. Every downstream
+    block keeps its base shape and (explicitly pinned) base path.
+    """
 
     n: int = 64
     m: int = 96
+    c1_half: bool = False
 
     @nn.compact
     def __call__(self, x, context1, context2, context3):
         n = self.n
-        f = conv(n, 3, 2)(jnp.concatenate([x, context1], axis=-1))
+        if self.c1_half:
+            f = (conv(n, 3, 2, name="in_x_half")(x)
+                 + conv(n, 1, name="c1_proj_half")(context1))
+        else:
+            f = conv(n, 3, 2)(jnp.concatenate([x, context1], axis=-1))
+        nm = {"name": "ResBlock_0"} if self.c1_half else {}
         f = ResBlock(n * 2, slope=0.1, bottleneck=True,
-                     end_with_relu=True)(
+                     end_with_relu=True, **nm)(
             jnp.concatenate([f, context2], axis=-1))
-        f = conv(n, 3, 2)(f)
+        f = conv(n, 3, 2, **({"name": "Conv_1"} if self.c1_half else {}))(f)
+        nm = {"name": "ResBlock_1"} if self.c1_half else {}
         f = ResBlock(n * 2, slope=0.1, bottleneck=True,
-                     end_with_relu=True)(
+                     end_with_relu=True, **nm)(
             jnp.concatenate([f, context3], axis=-1))
-        f = conv(n, 3, 2)(f)
-        return conv(self.m, 3, 2, dtype=jnp.float32)(f)  # latent: f32
+        f = conv(n, 3, 2, **({"name": "Conv_2"} if self.c1_half else {}))(f)
+        return conv(self.m, 3, 2, dtype=jnp.float32,
+                    **({"name": "Conv_3"} if self.c1_half else {}))(f)
 
 
 class ContextualDecoder(nn.Module):
-    """Synthesis transform: x16 subpel with context conditioning, 32ch out."""
+    """Synthesis transform: x16 subpel with context conditioning, 32ch out.
+
+    `half_out` (DMCConfig.recon_half): the final x2 subpel is replaced by
+    a same-scale conv (fresh "out_half" leaf) so the residual feature
+    leaves at /2 for the half-resolution recon path; everything before it
+    keeps its base shape and path (only the final module changes, so the
+    auto-name counters of the shared prefix are unaffected).
+    """
 
     n: int = 64
     m: int = 96
+    half_out: bool = False
 
     @nn.compact
     def __call__(self, y_hat, context2, context3):
@@ -178,6 +254,8 @@ class ContextualDecoder(nn.Module):
         f = ResBlock(n * 2, slope=0.1, bottleneck=True,
                      end_with_relu=True)(
             jnp.concatenate([f, context2], axis=-1))
+        if self.half_out:
+            return conv(32, name="out_half")(f)
         return SubpelConv(32, 2)(f)
 
 
@@ -193,17 +271,33 @@ class ReconGeneration(nn.Module):
     channels: int = 64
     unet_width: int = 32
     single_unet: bool = False  # DMCConfig.recon_single_unet
+    half: bool = False         # DMCConfig.recon_half
 
     @nn.compact
     def __call__(self, res, ctx):
         res = res.astype(ctx.dtype) if res.dtype != ctx.dtype else res
-        f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
-        f = UNet(self.channels, self.unet_width)(f)
-        if not self.single_unet:
+        if not self.half:
+            f = conv(self.channels)(jnp.concatenate([res, ctx], axis=-1))
             f = UNet(self.channels, self.unet_width)(f)
-        recon = conv(3, dtype=jnp.float32)(f)  # pixels: f32
-        # feature_ref lives in the DPB (fixed f32 pytree)
-        return f.astype(jnp.float32), recon
+            if not self.single_unet:
+                f = UNet(self.channels, self.unet_width)(f)
+            recon = conv(3, dtype=jnp.float32)(f)  # pixels: f32
+            # feature_ref lives in the DPB (fixed f32 pytree)
+            return f.astype(jnp.float32), recon
+        # /2 refinement: res comes in at /2 (ContextualDecoder.half_out);
+        # ctx is pooled unless the ctx_half path already mined it at /2.
+        # The concat conv and UNet keep their exact base shapes/paths —
+        # only the subpel lift to the full-res DPB feature is fresh.
+        if ctx.shape[1] == 2 * res.shape[1]:
+            ctx = avg_pool_2x2(ctx)
+        f = conv(self.channels, name="Conv_0")(
+            jnp.concatenate([res, ctx], axis=-1))
+        f = UNet(self.channels, self.unet_width, name="UNet_0")(f)
+        if not self.single_unet:
+            f = UNet(self.channels, self.unet_width, name="UNet_1")(f)
+        feature = SubpelConv(self.channels, 2, name="up_half")(f)
+        recon = conv(3, dtype=jnp.float32, name="Conv_1")(feature)
+        return feature.astype(jnp.float32), recon
 
 
 class DMC(nn.Module):
@@ -216,20 +310,23 @@ class DMC(nn.Module):
         set_compute_dtype(getattr(c, "dtype", "float32"))
         self.optic_flow = SpyNet()
         self.motion_autoencoder = AutoEncoder(
-            out_channels=2, channels=c.ch_mv)
+            out_channels=2, channels=c.ch_mv, half_out=c.mv_half_dec)
         self.motion_context_model = MotionContextModel(
             y_channels=c.ch_mv, z_channels=c.ch_mv)
         self.feature_adaptor_i = conv(c.n)
         self.feature_adaptor_p = conv(c.n, 1)
         self.feature_extractor = FeatureExtractor(c.n, lite=c.ctx_lite)
         self.context_fusion_net = MultiScaleContextFusion(
-            c.n, lite=c.ctx_lite)
-        self.contextual_encoder = ContextualEncoder(c.n, c.m)
-        self.contextual_decoder = ContextualDecoder(c.n, c.m)
+            c.n, lite=c.ctx_lite, c1_half=c.ctx_half)
+        self.contextual_encoder = ContextualEncoder(
+            c.n, c.m, c1_half=c.ctx_half)
+        self.contextual_decoder = ContextualDecoder(
+            c.n, c.m, half_out=c.recon_half)
         self.frame_context_model = FrameContextModel(
             y_channels=c.m, z_channels=c.n)
         self.recon_generation_net = ReconGeneration(
-            c.n, c.unet_width, single_unet=c.recon_single_unet)
+            c.n, c.unet_width, single_unet=c.recon_single_unet,
+            half=c.recon_half)
 
     # -- shared sub-graphs ---------------------------------------------------
 
@@ -253,18 +350,31 @@ class DMC(nn.Module):
         `need_xwarp` is static: the real-codec decode stages never use the
         warped frame (it only feeds the motion-pretrain loss), so the
         warp_ctx_half variant skips that full-res gather entirely there.
+
+        Under `mv_half_dec` the decoded field `mv` arrives at /2 in
+        /2-pixel units — it IS mv2; the full-res flow is rebuilt (by
+        upsampling) only when the warped frame is actually needed.
         """
-        mv2 = bilinear_downsample_x2(mv) / 2.0
+        if self.cfg.mv_half_dec:
+            mv2 = mv
+            mv_full = (bilinear_upsample_x2(mv2) * 2.0
+                       if need_xwarp else None)
+        else:
+            mv_full = mv
+            mv2 = bilinear_downsample_x2(mv_full) / 2.0
         mv3 = bilinear_downsample_x2(mv2) / 2.0
         f1, f2, f3 = self.multi_scale_feature_extractor(dpb, first_p)
         if self.cfg.warp_ctx_half:
             # context1 mined at /2: pool the full-res feature, warp with
-            # the /2 flow, upsample back. The full-res 64ch gather is the
-            # single most expensive device op (docs/PERFORMANCE.md); this
-            # quarters its index count at an RD cost to be trained/
-            # measured (campaign).
-            c1 = bilinear_upsample_x2(flow_warp(avg_pool_2x2(f1), mv2))
-            warpframe = (flow_warp(dpb["x_ref"].astype(f1.dtype), mv)
+            # the /2 flow, upsample back (ctx_half keeps it at /2 — the
+            # fusion/encoder/recon consumers run their c1 branches there).
+            # The full-res 64ch gather is the single most expensive device
+            # op (docs/PERFORMANCE.md); this quarters its index count at
+            # an RD cost trained/measured by the campaign.
+            c1 = flow_warp(avg_pool_2x2(f1), mv2)
+            if not self.cfg.ctx_half:
+                c1 = bilinear_upsample_x2(c1)
+            warpframe = (flow_warp(dpb["x_ref"].astype(f1.dtype), mv_full)
                          if need_xwarp else None)
         else:
             # x_ref and f1 share the full-res flow: one fused gather
@@ -272,7 +382,7 @@ class DMC(nn.Module):
             both = flow_warp(
                 jnp.concatenate(
                     [dpb["x_ref"].astype(f1.dtype), f1], axis=-1),
-                mv)
+                mv_full)
             warpframe = both[..., :3]
             c1 = both[..., 3:]
         c2 = flow_warp(f2, mv2)

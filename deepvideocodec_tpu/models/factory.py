@@ -18,10 +18,13 @@ def build_inter_model(name: str, variant: str = "base",
     `variant="fast"` enables the speed/RD architecture pair
     (DMCConfig.warp_ctx_half + flow_half — docs/PERFORMANCE.md);
     `variant="fast2"` additionally drops the full-res context ResBlocks
-    and the second recon UNet (DMCConfig.ctx_lite + recon_single_unet —
-    the next ranked device-compute cuts; RD to be trained/measured).
-    `unet_width` overrides the recon UNet base width. All are
-    DMC-topology knobs; passing them for DVC/DCVC raises ValueError.
+    and the second recon UNet (DMCConfig.ctx_lite + recon_single_unet);
+    `variant="fast3"` further moves the motion synthesis head, the whole
+    context1 path and the recon UNet to /2 (DMCConfig.mv_half_dec +
+    ctx_half + recon_half — the round-3 device-compute cut set; RD to be
+    trained/measured). `unet_width` overrides the recon UNet base width.
+    All are DMC-topology knobs; passing them for DVC/DCVC raises
+    ValueError.
     """
     from .dmc import DMC, DMCConfig
     from .dvc import DVC
@@ -29,10 +32,13 @@ def build_inter_model(name: str, variant: str = "base",
 
     if name == "dmc":
         kw = {}
-        if variant in ("fast", "fast2"):
+        if variant in ("fast", "fast2", "fast3"):
             kw.update(warp_ctx_half=True, flow_half=True)
-            if variant == "fast2":
+            if variant in ("fast2", "fast3"):
                 kw.update(ctx_lite=True, recon_single_unet=True)
+            if variant == "fast3":
+                kw.update(mv_half_dec=True, ctx_half=True,
+                          recon_half=True)
         elif variant != "base":
             raise ValueError(f"unknown variant {variant!r}")
         if unet_width is not None:

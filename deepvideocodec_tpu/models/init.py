@@ -68,7 +68,9 @@ def _dmc_plan(model, h, w):
     mv_full = _f32(1, hh, ww, cfg.ch_mv)
     mv_half = _f32(1, hh, ww, cfg.ch_mv // 2)
     mv_half_i = _i32(1, hh, ww, cfg.ch_mv // 2)
-    c1 = _f32(1, h, w, cfg.n)
+    # ctx_half mines/consumes context1 at /2 (models/dmc.py)
+    c1 = (_f32(1, h // 2, w // 2, cfg.n) if getattr(cfg, "ctx_half", False)
+          else _f32(1, h, w, cfg.n))
     c2 = _f32(1, h // 2, w // 2, cfg.n)
     c3 = _f32(1, h // 4, w // 4, cfg.n)
     z_f = _i32(1, zh, zw, cfg.n)

@@ -75,11 +75,14 @@ def get_compute_dtype():
 
 
 def conv(features: int, kernel: int = 3, stride: int = 1,
-         dtype=None) -> nn.Conv:
+         dtype=None, name: str | None = None) -> nn.Conv:
     """Conv with torch-style symmetric padding (pad = kernel // 2).
 
     `dtype=None` computes in the codec-wide compute dtype;
-    pass jnp.float32 to pin a precision-critical layer.
+    pass jnp.float32 to pin a precision-critical layer. `name` pins the
+    flax module name — required when an architecture variant removes or
+    replaces an earlier unnamed module, which would otherwise shift the
+    auto-name counters and silently misalign partial warm starts.
     """
     p = kernel // 2
     return nn.Conv(
@@ -90,6 +93,7 @@ def conv(features: int, kernel: int = 3, stride: int = 1,
         kernel_init=codec_kernel_init,
         bias_init=codec_bias_init,
         dtype=get_compute_dtype() if dtype is None else dtype,
+        name=name,
     )
 
 
@@ -404,10 +408,18 @@ class AutoEncoder(nn.Module):
     Mirrors the reference's get_enc_dec_models topology
     (/root/reference/dmc/models/layers.py:344-366): four stride-2 stages of
     residual blocks down, mirrored subpel x2 stages up.
+
+    `half_out=True` (DMCConfig.mv_half_dec) stops the synthesis ladder at
+    /2 — a plain 3x3 conv replaces the final subpel upsample, so decode()
+    emits the field at half resolution (values in /2-pixel units, learned
+    by fine-tune). Used when every consumer of the decoded flow operates
+    at /2 or below (warp_ctx_half contexts), where the full-res synthesis
+    stage is dead compute. All other parameters keep their base paths.
     """
 
     out_channels: int
     channels: int
+    half_out: bool = False
 
     def setup(self):
         ch = self.channels
@@ -431,8 +443,14 @@ class AutoEncoder(nn.Module):
             ResidualBlockUpsample(ch),
             ResidualBlockSimple(ch),
         ]
-        self.dec_final = SubpelConv(self.out_channels, 2, kernel=1,
-                                    dtype=jnp.float32)
+        if self.half_out:
+            # /2-native output head (fresh params; the shared dec_blocks
+            # above keep their base paths for partial warm starts)
+            self.dec_final_half = conv(self.out_channels, 3,
+                                       dtype=jnp.float32)
+        else:
+            self.dec_final = SubpelConv(self.out_channels, 2, kernel=1,
+                                        dtype=jnp.float32)
 
     def encode(self, x):
         for blk in self.enc_blocks:
@@ -442,6 +460,8 @@ class AutoEncoder(nn.Module):
     def decode(self, y):
         for blk in self.dec_blocks:
             y = blk(y)
+        if self.half_out:
+            return self.dec_final_half(y)
         return self.dec_final(y)
 
     def __call__(self, x):

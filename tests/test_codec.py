@@ -269,6 +269,9 @@ _VARIANT_FLAGS = {
     "fast": dict(warp_ctx_half=True, flow_half=True),
     "fast2": dict(warp_ctx_half=True, flow_half=True,
                   ctx_lite=True, recon_single_unet=True),
+    "fast3": dict(warp_ctx_half=True, flow_half=True,
+                  ctx_lite=True, recon_single_unet=True,
+                  mv_half_dec=True, ctx_half=True, recon_half=True),
 }
 
 

@@ -223,3 +223,51 @@ class TestFastInit:
         for k, v in mono_leaves:
             ks = jax.tree_util.keystr(k)
             assert np.array_equal(np.asarray(v), np.asarray(fast_map[ks])), ks
+
+
+class TestFast3WarmStartAlignment:
+    """fast3's param tree must stay aligned with fast2's for --init-partial
+    warm starts: every shared path keeps its exact shape (flax auto-name
+    counters shift when unnamed modules are removed, so the variant code
+    pins explicit names — models/dmc.py), and the fresh/dropped leaves are
+    exactly the documented divergence set."""
+
+    def _shapes(self, cfg):
+        model = DMC(cfg=cfg)
+        frames = jax.ShapeDtypeStruct((1, 3, 64, 64, 3), jnp.float32)
+        tree = jax.eval_shape(
+            lambda k, f: model.init({"params": k, "noise": k}, f,
+                                    training=True),
+            KEY, frames)
+        return {jax.tree_util.keystr(k): v.shape
+                for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    def test_shared_paths_same_shape(self):
+        base = dict(ch_mv=16, n=16, m=24, unet_width=16,
+                    warp_ctx_half=True, flow_half=True,
+                    ctx_lite=True, recon_single_unet=True)
+        f2 = self._shapes(DMCConfig(**base))
+        f3 = self._shapes(DMCConfig(**base, mv_half_dec=True,
+                                    ctx_half=True, recon_half=True))
+
+        shared = set(f2) & set(f3)
+        mismatched = [k for k in shared if f2[k] != f3[k]]
+        assert not mismatched, mismatched
+
+        fresh_markers = ("dec_final_half", "c2_up_half", "in_x_half",
+                         "c1_proj_half", "out_half", "up_half")
+        f3_only = {k for k in f3 if k not in f2}
+        for k in f3_only:
+            assert any(m in k for m in fresh_markers), (
+                f"unexpected fresh fast3 leaf {k}")
+        for m in fresh_markers:
+            assert any(m in k for k in f3_only), f"missing fresh leaf {m}"
+
+        dropped_markers = ("dec_final", "SubpelConv")
+        f2_only = {k for k in f2 if k not in f3}
+        for k in f2_only:
+            assert any(m in k for m in dropped_markers) or (
+                "contextual_encoder" in k and "Conv_0" in k), (
+                f"unexpected dropped fast2 leaf {k}")
+        # the bulk of the tree is shared (warm start actually pays off)
+        assert len(shared) > 4 * len(f3_only)
