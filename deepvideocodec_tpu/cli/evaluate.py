@@ -65,12 +65,13 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     if args.model == "intra" and args.gop != 1:
-        # Catch this at the CLI: with no inter codec the first P-frame
-        # would otherwise crash deep in a worker thread (gop-parallel) or
-        # the GOP loop with an opaque NoneType AttributeError.
-        raise SystemExit(
-            "--model intra codes every frame as an I-frame; pass --gop 1 "
-            f"(got --gop {args.gop})")
+        # -m intra has no inter codec: every frame is an I-frame, so any
+        # --gop other than 1 is meaningless. Coerce (the loop below only
+        # ever runs the intra path) rather than die — the strict check
+        # killed an unattended campaign chain in round 3.
+        print(f"--model intra codes every frame as an I-frame; "
+              f"coercing --gop {args.gop} -> 1", file=sys.stderr)
+        args.gop = 1
 
     import jax
     import numpy as np

@@ -43,14 +43,15 @@ fi
 # q4/q5: 12 epochs from the q6 export at their own lambda.
 # q6: +6 epochs continuing its own export.
 intra_ft() {  # $1 = q, $2 = epochs
-  if [ -d checkpoints/intra_q$1/params_export ]; then
-    log "intra q$1 already trained; skipping"
-  else
-    log "training intra q$1 (${2} epochs, warm start from intra_q6.npz)"
-    python -m deepvideocodec_tpu.cli.train_intra -d data/images -q $1 \
-      --init-from $REPO/ckpts/intra_q6.npz --batch-size 8 -e $2 \
-      --patch-size 256 256 --num-workers 2 --name r3b
-  fi
+  # Resume via --checkpoint (the CLI restores the latest step and no-ops
+  # once start_epoch >= epochs) — an existence guard on params_export is
+  # satisfied after epoch 0 and silently exports undertrained weights
+  # after a mid-train reboot (round-3 advisor, medium).
+  log "training intra q$1 (${2} epochs, warm start from intra_q6.npz)"
+  python -m deepvideocodec_tpu.cli.train_intra -d data/images -q $1 \
+    --init-from $REPO/ckpts/intra_q6.npz --batch-size 8 -e $2 \
+    --checkpoint checkpoints/intra_q$1 \
+    --patch-size 256 256 --num-workers 2 --name r3b
   local out=$REPO/ckpts/intra_q$1.npz
   [ $1 = 6 ] && out=$REPO/ckpts/intra_q6_r3b.npz  # judge vs old by eval
   python $REPO/scripts/export_weights.py checkpoints/intra_q$1 "$out" \
@@ -62,15 +63,20 @@ intra_ft 5 ${Q45_EPOCHS:-12}
 intra_ft 6 ${Q6_EPOCHS:-6}
 
 # ---- GOP-1 real-bitstream evals across the ladder ----
-if [ ! -f results/intra_r3b/q6.json ]; then
-  log "evaluating the re-trained ladder (GOP 1, ${EVAL_FRAMES:-96} frames)"
-  python -m deepvideocodec_tpu.cli.evaluate -m intra \
-    --frames-root data/eval -q 4 5 6 \
-    --intra-checkpoint 'checkpoints/intra_q{q}' \
-    --results-dir results/intra_r3b --cache-dir cache/intra_r3b \
-    --streams 4 --frames ${EVAL_FRAMES:-96}
-fi
+# Per-quality guard: append_result has no dedup, so a crash between
+# qualities + blanket re-run would double-append into the finished
+# q jsons (round-3 advisor, low).
+for q in 4 5 6; do
+  if [ ! -f results/intra_r3b/q$q.json ]; then
+    log "evaluating re-trained q$q (GOP 1, ${EVAL_FRAMES:-96} frames)"
+    python -m deepvideocodec_tpu.cli.evaluate -m intra --gop 1 \
+      --frames-root data/eval -q $q \
+      --intra-checkpoint 'checkpoints/intra_q{q}' \
+      --results-dir results/intra_r3b --cache-dir cache/intra_r3b \
+      --streams 4 --frames ${EVAL_FRAMES:-96}
+  fi
+done
 echo R3B-EVAL-DONE
 
-python $REPO/scripts/rd_report.py results || true
+python $REPO/scripts/rd_report.py results
 echo ALL-R3B-DONE
