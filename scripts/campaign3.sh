@@ -72,7 +72,7 @@ eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
     --frames-root data/eval -q 6 --gop $3 --frames ${EVAL_FRAMES:-24} \
     --checkpoint checkpoints/$tag/$1.0 \
     --intra-checkpoint checkpoints/intra_q6 \
-    --results-dir results/${tag}_$1_gop$3_cpu${EVAL_FRAMES:-24} \
+    --results-dir results/${tag}_$1_gop$3_f${EVAL_FRAMES:-24} \
     --cache-dir cache/${tag}_$1_gop$3 \
     --streams ${EVAL_STREAMS:-1} --per-frame ${EVAL_EXTRA:-}
 }

@@ -65,8 +65,9 @@ def main():
     import re
 
     name_re = re.compile(
-        r"^(?P<family>dmc(?:_fast)?(?:_mf\d+)?)_(?P<lam>[0-9.]+)"
-        r"(?P<proto>(?:_gop\d+)?(?:_cpu\d+)?)$")
+        r"^(?P<family>(?:dmc|dvc|dcvc)(?:_fast\d*)?(?:_mf\d+[a-z]?)?)"
+        r"_(?P<lam>[0-9.]+)"
+        r"(?P<proto>(?:_gop\d+)?(?:_(?:cpu|tpu|f)\d+)?)$")
     curves: dict = {}
     for name, ps in runs.items():
         m = name_re.match(name)
@@ -112,16 +113,18 @@ def main():
             print(f"BD-rate({label}, {anchor_key[1]}): n/a ({e})")
 
     protos = sorted({k[1] for k in curves})
+    families = sorted({k[0] for k in curves})
     print()
-    intra = runs.get("intra")
+    # all-intra anchor: prefer the re-trained r3b ladder when present
+    intra = runs.get("intra_r3b") or runs.get("intra")
     for proto in protos:
         base = ("dmc", proto)
-        # every DMC family vs the all-intra anchor (the reference's own
+        # every family vs the all-intra anchor (the reference's own
         # headline comparison: P-frame coding gain over the I-codec)
         if intra and len(intra) >= 2:
             ir, ip = pareto([p[1] for p in intra],
                             [p[2] for p in intra], label="intra")
-            for fam in ("dmc", "dmc_mf5", "dmc_fast", "dmc_fast_mf5"):
+            for fam in families:
                 fr, fp = rp((fam, proto))
                 if len(fr) < 2:
                     continue
