@@ -83,16 +83,22 @@ def _save_png(path: Path, img: np.ndarray) -> None:
 
 
 def write_vimeo_tree(root: Path, clips: int, size: int,
-                     test_frac: float = 0.1, seed: int = 0) -> None:
+                     test_frac: float = 0.1, seed: int = 0,
+                     frames: int = 7) -> None:
     seq_root = root / "sequences" / "00001"
     seq_root.mkdir(parents=True, exist_ok=True)
+    # vimeo parity keeps im1..im7 for 7-frame clips (byte-identical
+    # seed-0 corpus); longer clips zero-pad so the loader's
+    # lexicographic frame sort stays temporal (im01 < im10)
+    name = ("im{:d}.png" if frames <= 9 else
+            "im{:0" + str(len(str(frames))) + "d}.png").format
     names = []
     for i in range(clips):
         d = seq_root / f"{i + 1:04d}"
         d.mkdir(exist_ok=True)
-        video = synthetic_texture_video(7, size, size, seed=seed + i)
-        for f in range(7):
-            _save_png(d / f"im{f + 1}.png", video[f])
+        video = synthetic_texture_video(frames, size, size, seed=seed + i)
+        for f in range(frames):
+            _save_png(d / name(f + 1), video[f])
         names.append(f"00001/{i + 1:04d}")
     n_test = max(1, int(len(names) * test_frac))
     (root / "sep_trainlist.txt").write_text(
@@ -128,6 +134,10 @@ def parse_args(argv=None):
         description="Generate synthetic train/eval datasets")
     p.add_argument("--out", required=True)
     p.add_argument("--clips", type=int, default=256)
+    p.add_argument("--clip-frames", type=int, default=7,
+                   help="frames per training clip (7 = vimeo parity; "
+                        "longer clips enable --max-frames > 7 "
+                        "drift-cascade fine-tunes)")
     p.add_argument("--clip-size", type=int, default=192)
     p.add_argument("--images", type=int, default=400)
     p.add_argument("--test-images", type=int, default=32)
@@ -143,7 +153,7 @@ def main(argv=None):
     args = parse_args(argv)
     out = Path(args.out)
     write_vimeo_tree(out / "vimeo", args.clips, args.clip_size,
-                     seed=args.seed)
+                     seed=args.seed, frames=args.clip_frames)
     write_image_tree(out / "images", args.images, args.test_images,
                      args.image_size, seed=args.seed)
     write_eval_sequences(out / "eval", args.eval_seqs, args.eval_frames,

@@ -105,15 +105,16 @@ family() {  # $1 = dvc|dcvc
 family dvc
 family dcvc
 
-# ---- phase 4: mf7 drift retry (half LR, from the mf5-2048 point) ----
+# ---- phase 4: mf7 drift retry (multi-epoch, half LR, from mf5-2048;
+# the single-epoch full-LR attempt degraded — docs/RD.md) ----
 CAMPAIGN3_TPU=1 FT_TAG=dmc_mf7 FT_FRAMES=7 \
   FT_INIT=$REPO/ckpts/dmc_2048_mf5.npz \
-  FT_START=50 FT_END=52 FT_EXTRA="--learning-rate 5e-5" \
+  FT_START=50 FT_END=54 FT_EXTRA="--learning-rate 5e-5" \
   EVAL_FRAMES=$FRAMES EVAL_STREAMS=4 \
   bash $REPO/scripts/campaign3.sh $WORK 2048
 python $REPO/scripts/export_weights.py \
   checkpoints/dmc_mf7/2048.0 $REPO/ckpts/dmc_2048_mf7.npz --model dmc
 echo R4B-MF7-DONE
 
-python $REPO/scripts/rd_report.py results
+python $REPO/scripts/rd_report.py $WORK
 echo ALL-R4B-DONE

@@ -42,7 +42,8 @@ def load_points(results_dir: Path):
 
 def main():
     work = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/campaign")
-    results = work / "results"
+    # accept either a campaign work dir or its results/ dir directly
+    results = work / "results" if (work / "results").is_dir() else work
     runs = {}
     for d in sorted(results.iterdir()):
         if d.is_dir():
