@@ -54,6 +54,10 @@ for gop in 8 32; do
   eval96 dmc_fast2_mf5_2048 $REPO/ckpts/dmc_fast2_2048_mf5.npz $gop --variant fast2
 done
 echo R4B-EVAL96-DONE
+# R4B_STOP_AFTER=eval96 lets the master chain (campaign_r4e.sh) run the
+# protocol evals first and come back for the training phases later —
+# the per-artifact guards make the second pass skip straight to phase 2.
+[ "${R4B_STOP_AFTER:-}" = eval96 ] && exit 0
 
 # ---- phase 2: 8192 GOP-32 inversion fix (half-LR mf5 continuation) ----
 CAMPAIGN3_TPU=1 FT_TAG=dmc_mf5b FT_INIT=$REPO/ckpts/dmc_8192_mf5.npz \
