@@ -69,7 +69,7 @@ def parse_args(argv=None):
                    help="force the starting epoch (selects the curriculum "
                         "stage) for --init-from fine-tunes; also applied "
                         "on resume of such a run")
-    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3"], default="base",
+    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4"], default="base",
                    help="dmc topology: 'fast' enables warp_ctx_half + "
                         "flow_half (models/dmc.py) — the speed variant "
                         "whose RD the campaign validates")

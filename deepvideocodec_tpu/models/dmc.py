@@ -92,6 +92,21 @@ class DMCConfig:
     mv_half_dec: bool = False
     ctx_half: bool = False
     recon_half: bool = False
+    #   Round-4 cut ("fast4" = fast3 + the below).
+    #   feat_half: the DPB feature_ref itself lives at /2. After fast3 the
+    #     /1 compute left per P-frame is feature_adaptor_p + the
+    #     extractor's l1 conv (two 64->64 full-res convs, ~77 GMAC each at
+    #     1080p), the recon up_half subpel lift producing the full-res
+    #     64ch feature (another ~77 GMAC equivalent), and the full-res RGB
+    #     head conv. feat_half deletes all four: the recon UNet's /2
+    #     output IS the next frame's feature_ref, the extractor pyramid
+    #     runs (/2, /2, /4) with the same kernel shapes (only strides
+    #     change), and RGB is synthesized straight from the /2 feature by
+    #     one fresh subpel head ("rgb_up_half"). Every shared path keeps
+    #     its exact base shape, so --init-partial warm starts from fast3
+    #     load everything but that head. Requires ctx_half + recon_half
+    #     (the context/recon consumers must already be on the /2 path).
+    feat_half: bool = False
 
     def __post_init__(self):
         if (self.mv_half_dec or self.ctx_half) and not self.warp_ctx_half:
@@ -99,14 +114,20 @@ class DMCConfig:
                 "mv_half_dec/ctx_half assume the /2 context-mining path "
                 "(warp_ctx_half=True): without it the full-res flow is a "
                 "live consumer and the cut is incorrect")
+        if self.feat_half and not (self.ctx_half and self.recon_half):
+            raise ValueError(
+                "feat_half stores the DPB feature at /2; its consumers "
+                "(context mining, recon refinement) must already run at "
+                "/2 (ctx_half=True, recon_half=True)")
 
 
 def empty_dpb(batch: int, h: int, w: int, cfg: DMCConfig = DMCConfig(),
               dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Fixed-shape decoded-picture buffer for an (h, w) padded frame."""
+    fh, fw = (h // 2, w // 2) if cfg.feat_half else (h, w)
     return {
         "x_ref": jnp.zeros((batch, h, w, 3), dtype),
-        "feature_ref": jnp.zeros((batch, h, w, cfg.n), dtype),
+        "feature_ref": jnp.zeros((batch, fh, fw, cfg.n), dtype),
         "y_ref": jnp.zeros((batch, h // 16, w // 16, cfg.m), dtype),
         "y_mv_ref": jnp.zeros((batch, h // 16, w // 16, cfg.ch_mv), dtype),
     }
@@ -119,10 +140,16 @@ class FeatureExtractor(nn.Module):
     its two C=channels convs run at half the MXU lanes and are the
     stage's cost center (docs/PERFORMANCE.md conv table); the /2 and /4
     levels keep the reference ladder.
+
+    `half` (DMCConfig.feat_half): the reference feature arrives at /2,
+    so the pyramid runs (/2, /2, /4) — l2's conv drops its stride (same
+    kernel shape/path, so warm starts load it) and the scales stay
+    aligned with the /2 and /4 flow fields the warps consume.
     """
 
     channels: int = 64
     lite: bool = False
+    half: bool = False
 
     @nn.compact
     def __call__(self, feature):
@@ -134,7 +161,7 @@ class FeatureExtractor(nn.Module):
         l1 = conv(self.channels)(feature)
         if not self.lite:
             l1 = ResBlock(self.channels, name="ResBlock_0")(l1)
-        l2 = conv(self.channels, 3, 2)(l1)
+        l2 = conv(self.channels, 3, 1 if self.half else 2)(l1)
         l2 = ResBlock(self.channels, name="ResBlock_1")(l2)
         l3 = conv(self.channels, 3, 2)(l2)
         l3 = ResBlock(self.channels, name="ResBlock_2")(l3)
@@ -272,6 +299,7 @@ class ReconGeneration(nn.Module):
     unet_width: int = 32
     single_unet: bool = False  # DMCConfig.recon_single_unet
     half: bool = False         # DMCConfig.recon_half
+    feat_half: bool = False    # DMCConfig.feat_half
 
     @nn.compact
     def __call__(self, res, ctx):
@@ -295,6 +323,13 @@ class ReconGeneration(nn.Module):
         f = UNet(self.channels, self.unet_width, name="UNet_0")(f)
         if not self.single_unet:
             f = UNet(self.channels, self.unet_width, name="UNet_1")(f)
+        if self.feat_half:
+            # /2-native DPB feature (DMCConfig.feat_half): the refined /2
+            # feature IS next frame's feature_ref — no full-res lift at
+            # all. RGB is synthesized by one fresh subpel head; pixels f32.
+            recon = SubpelConv(3, 2, dtype=jnp.float32,
+                               name="rgb_up_half")(f)
+            return f.astype(jnp.float32), recon
         feature = SubpelConv(self.channels, 2, name="up_half")(f)
         recon = conv(3, dtype=jnp.float32, name="Conv_1")(feature)
         return feature.astype(jnp.float32), recon
@@ -313,9 +348,13 @@ class DMC(nn.Module):
             out_channels=2, channels=c.ch_mv, half_out=c.mv_half_dec)
         self.motion_context_model = MotionContextModel(
             y_channels=c.ch_mv, z_channels=c.ch_mv)
-        self.feature_adaptor_i = conv(c.n)
+        # feat_half: the I-frame adaptor downsamples the RGB reference to
+        # the /2 feature grid (same 3->n kernel shape, stride 2); the
+        # P-frame adaptor is 1x1 on the already-/2 feature_ref.
+        self.feature_adaptor_i = conv(c.n, 3, 2 if c.feat_half else 1)
         self.feature_adaptor_p = conv(c.n, 1)
-        self.feature_extractor = FeatureExtractor(c.n, lite=c.ctx_lite)
+        self.feature_extractor = FeatureExtractor(
+            c.n, lite=c.ctx_lite, half=c.feat_half)
         self.context_fusion_net = MultiScaleContextFusion(
             c.n, lite=c.ctx_lite, c1_half=c.ctx_half)
         self.contextual_encoder = ContextualEncoder(
@@ -326,7 +365,7 @@ class DMC(nn.Module):
             y_channels=c.m, z_channels=c.n)
         self.recon_generation_net = ReconGeneration(
             c.n, c.unet_width, single_unet=c.recon_single_unet,
-            half=c.recon_half)
+            half=c.recon_half, feat_half=c.feat_half)
 
     # -- shared sub-graphs ---------------------------------------------------
 
@@ -371,7 +410,9 @@ class DMC(nn.Module):
             # The full-res 64ch gather is the single most expensive device
             # op (docs/PERFORMANCE.md); this quarters its index count at
             # an RD cost trained/measured by the campaign.
-            c1 = flow_warp(avg_pool_2x2(f1), mv2)
+            # feat_half: f1 is already on the /2 grid — warp it directly.
+            c1 = flow_warp(f1 if self.cfg.feat_half else avg_pool_2x2(f1),
+                           mv2)
             if not self.cfg.ctx_half:
                 c1 = bilinear_upsample_x2(c1)
             warpframe = (flow_warp(dpb["x_ref"].astype(f1.dtype), mv_full)

@@ -21,8 +21,11 @@ def build_inter_model(name: str, variant: str = "base",
     and the second recon UNet (DMCConfig.ctx_lite + recon_single_unet);
     `variant="fast3"` further moves the motion synthesis head, the whole
     context1 path and the recon UNet to /2 (DMCConfig.mv_half_dec +
-    ctx_half + recon_half — the round-3 device-compute cut set; RD to be
-    trained/measured). `unet_width` overrides the recon UNet base width.
+    ctx_half + recon_half — the round-3 device-compute cut set);
+    `variant="fast4"` additionally stores the DPB feature itself at /2
+    (DMCConfig.feat_half — deletes the last full-res 64-channel convs;
+    RGB comes from a fresh /2 subpel head). `unet_width` overrides the
+    recon UNet base width.
     All are DMC-topology knobs; passing them for DVC/DCVC raises
     ValueError.
     """
@@ -32,13 +35,15 @@ def build_inter_model(name: str, variant: str = "base",
 
     if name == "dmc":
         kw = {}
-        if variant in ("fast", "fast2", "fast3"):
+        if variant in ("fast", "fast2", "fast3", "fast4"):
             kw.update(warp_ctx_half=True, flow_half=True)
-            if variant in ("fast2", "fast3"):
+            if variant in ("fast2", "fast3", "fast4"):
                 kw.update(ctx_lite=True, recon_single_unet=True)
-            if variant == "fast3":
+            if variant in ("fast3", "fast4"):
                 kw.update(mv_half_dec=True, ctx_half=True,
                           recon_half=True)
+            if variant == "fast4":
+                kw.update(feat_half=True)
         elif variant != "base":
             raise ValueError(f"unknown variant {variant!r}")
         if unet_width is not None:

@@ -272,6 +272,10 @@ _VARIANT_FLAGS = {
     "fast3": dict(warp_ctx_half=True, flow_half=True,
                   ctx_lite=True, recon_single_unet=True,
                   mv_half_dec=True, ctx_half=True, recon_half=True),
+    "fast4": dict(warp_ctx_half=True, flow_half=True,
+                  ctx_lite=True, recon_single_unet=True,
+                  mv_half_dec=True, ctx_half=True, recon_half=True,
+                  feat_half=True),
 }
 
 

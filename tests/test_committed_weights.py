@@ -69,8 +69,8 @@ def dmc_codec(request):
     from deepvideocodec_tpu.utils import restore_any_params
 
     name = os.path.basename(request.param)
-    variant = ("fast2" if "fast2" in name
-               else "fast" if "fast" in name else "base")
+    variant = next((v for v in ("fast4", "fast3", "fast2", "fast")
+                    if v in name), "base")
     model = build_inter_model("dmc", variant)
     params = restore_any_params(
         request.param, fast_init(model, jax.random.PRNGKey(0)))

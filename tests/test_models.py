@@ -271,3 +271,30 @@ class TestFast3WarmStartAlignment:
                 f"unexpected dropped fast2 leaf {k}")
         # the bulk of the tree is shared (warm start actually pays off)
         assert len(shared) > 4 * len(f3_only)
+
+    def test_fast4_shared_paths_same_shape(self):
+        """fast4 (feat_half) vs fast3: every shared path keeps its exact
+        shape; the only fresh leaf is the /2 RGB subpel head and the only
+        dropped leaves are the full-res lift + RGB conv it replaces."""
+        base = dict(ch_mv=16, n=16, m=24, unet_width=16,
+                    warp_ctx_half=True, flow_half=True,
+                    ctx_lite=True, recon_single_unet=True,
+                    mv_half_dec=True, ctx_half=True, recon_half=True)
+        f3 = self._shapes(DMCConfig(**base))
+        f4 = self._shapes(DMCConfig(**base, feat_half=True))
+
+        shared = set(f3) & set(f4)
+        mismatched = [k for k in shared if f3[k] != f4[k]]
+        assert not mismatched, mismatched
+
+        f4_only = {k for k in f4 if k not in f3}
+        for k in f4_only:
+            assert "rgb_up_half" in k, f"unexpected fresh fast4 leaf {k}"
+        assert any("rgb_up_half" in k for k in f4_only)
+
+        f3_only = {k for k in f3 if k not in f4}
+        for k in f3_only:
+            assert ("up_half" in k or
+                    ("recon_generation_net" in k and "Conv_1" in k)), (
+                f"unexpected dropped fast3 leaf {k}")
+        assert len(shared) > 10 * len(f4_only)
