@@ -69,6 +69,11 @@ ft_long 9 $REPO/ckpts/dmc_2048_mf5.npz 54
 eval_long dmc_mf9_2048 checkpoints/dmc_mf9/2048.0
 echo R4C-MF9-DONE
 
+# ---- intra-ladder fidelity repair first: cheaper + more certain than
+# the mf15 trace/compile (campaign_r4e.sh's own r4d call no-ops after
+# this via the train-resume and per-q eval guards) ----
+bash $REPO/scripts/campaign_r4d.sh "$WORK"
+
 # ---- mf15: 2 epochs chained from the finished mf9 point ----
 log "mf15 fine-tune (14-P-frame cascade, chained from mf9)"
 ft_long 15 checkpoints/dmc_mf9/2048.0 52
