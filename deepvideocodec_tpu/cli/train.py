@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--test-batch-size", type=int, default=64)
     p.add_argument("--max-frames", type=int, default=2)
+    p.add_argument("--scan-frames", action="store_true",
+                   help="fold the steady-state P-frames into one nn.scan "
+                        "(DMC only): identical math, O(1)-in-frames host "
+                        "trace time — use for long-cascade fine-tunes "
+                        "(--max-frames >= 7), where the unrolled Python "
+                        "trace on a slow host dominates compile time")
     p.add_argument("--aux-learning-rate", type=float, default=1e-3)
     p.add_argument("--patch-size", type=int, nargs=2, default=(256, 256))
     p.add_argument("--seed", type=int, default=None)
@@ -120,6 +126,10 @@ def main(argv=None):
     from ..train.optimizers import multistep_lr
     from ..utils import setup_logger, AverageMeter, save_checkpoint, \
         restore_checkpoint, latest_step
+
+    if args.scan_frames and args.model != "dmc":
+        raise SystemExit("--scan-frames is a DMC __call__ knob "
+                         "(models/dmc.py); other families unroll")
 
     model_tag = (args.model if args.variant == "base"
                  else f"{args.model}_{args.variant}")
@@ -244,11 +254,13 @@ def main(argv=None):
             step_fns[stage.name] = (
                 retry_flaky_compile(make_parallel_train_step(
                     model, stage, args.lmbda, mesh,
-                    intra_model=intra_model, intra_params=intra_params)),
+                    intra_model=intra_model, intra_params=intra_params,
+                    scan_frames=args.scan_frames)),
                 retry_flaky_compile(
                     make_eval_step(model, stage, args.lmbda,
                                    intra_model=intra_model,
-                                   intra_params=intra_params)),
+                                   intra_params=intra_params,
+                                   scan_frames=args.scan_frames)),
             )
         train_step, eval_step = step_fns[stage.name]
 

@@ -490,12 +490,24 @@ class DMC(nn.Module):
         motion_pretrain: bool = False,
         frame_pretrain: bool = False,
         training: bool = False,
+        scan_frames: bool = False,
     ):
         """Training forward over a short clip; frame 0 is the reference.
 
         DPB propagates across P-frames only for clips of >= 3 frames,
         matching the reference (video_model.py:543-549). Returns
         {'x_hat': (B, T-1, H, W, 3), 'likelihoods': [per-frame dicts]}.
+
+        `scan_frames` folds the steady-state P-frames (t >= 2, first_p
+        False, identical graph every step) into one `nn.scan` over the
+        DPB carry instead of a Python unroll. Same math, same remat
+        memory behavior — but the host-side trace+lower cost becomes
+        O(1) in cascade length instead of O(T), which is what makes
+        long-cascade drift fine-tunes (--max-frames 9/15,
+        scripts/campaign_r4c.sh) tractable on a 1-core host where a
+        14-step unrolled trace costs the better part of an hour. The
+        first P-frame stays unrolled (first_p=True is a different
+        graph: RGB-adapted feature, no latent refs).
         """
         B, T, H, W, _ = frames.shape
         dpb = empty_dpb(B, H, W, self.cfg, frames.dtype)
@@ -523,6 +535,38 @@ class DMC(nn.Module):
                 return self.forward_inter(
                     x, d, first_p=fp, motion_pretrain=mp,
                     frame_pretrain=fpre, training=tr)
+
+        if scan_frames and T >= 4 and not motion_pretrain:
+            # t=1 unrolled (its graph differs), t>=2 scanned over the DPB.
+            x_rec1, lk1, dpb = step_fn(
+                frames[:, 1], dpb, True,
+                motion_pretrain, frame_pretrain, training)
+
+            def body(mdl, carry_dpb, x_t):
+                x_rec, lk, new_dpb = mdl.forward_inter(
+                    x_t, carry_dpb, first_p=False,
+                    motion_pretrain=motion_pretrain,
+                    frame_pretrain=frame_pretrain, training=training)
+                return new_dpb, (x_rec, lk)
+
+            if training:
+                body = nn.remat(body)
+            scanned = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False, "noise": True},
+                in_axes=1, out_axes=0)
+            dpb, (recs, lks) = scanned(self, dpb, frames[:, 2:])
+            recons = [x_rec1] + [
+                jax.tree_util.tree_map(lambda a, i=i: a[i], recs)
+                for i in range(T - 2)]
+            likelihoods = [lk1] + [
+                jax.tree_util.tree_map(lambda a, i=i: a[i], lks)
+                for i in range(T - 2)]
+            return {
+                "x_hat": jnp.stack(recons, axis=1),
+                "likelihoods": likelihoods,
+            }
 
         recons, likelihoods = [], []
         for t in range(1, T):

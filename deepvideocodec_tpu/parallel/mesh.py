@@ -81,6 +81,7 @@ def make_parallel_train_step(
     mesh: Mesh,
     intra_model=None,
     intra_params=None,
+    scan_frames: bool = False,
 ) -> Callable:
     """Data-parallel train step: batch sharded on `data`, params replicated.
 
@@ -99,6 +100,8 @@ def make_parallel_train_step(
     import jax.numpy as jnp
 
     lmbda_arr = jnp.asarray(lmbda, jnp.float32)
+    # DMC-only O(1)-trace long-cascade path (trainer.py has the note)
+    extra = {"scan_frames": True} if scan_frames else {}
 
     def loss_fn(params, batch, noise_rng, lmbda_t):
         frames = batch
@@ -113,6 +116,7 @@ def make_parallel_train_step(
             frame_pretrain=stage.frame_pretrain,
             training=True,
             rngs={"noise": noise_rng},
+            **extra,
         )
         metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         aux = model.apply(params, method=model.aux_loss)

@@ -78,6 +78,7 @@ def make_train_step(
     lmbda: float,
     intra_model=None,
     intra_params=None,
+    scan_frames: bool = False,
 ) -> Callable:
     """Build the jitted train step for one curriculum stage.
 
@@ -95,6 +96,10 @@ def make_train_step(
     # campaign sweeps several lambdas. (intra_params stay closed over:
     # campaigns share one frozen intra codec.)
     lmbda_arr = jnp.asarray(lmbda, jnp.float32)
+    # scan_frames is a DMC-only __call__ kwarg (O(1)-trace long-cascade
+    # path); only forward it when requested so other families' signatures
+    # stay untouched.
+    extra = {"scan_frames": True} if scan_frames else {}
 
     def loss_fn(params, batch, noise_rng, lmbda_t):
         frames = batch
@@ -109,6 +114,7 @@ def make_train_step(
             frame_pretrain=stage.frame_pretrain,
             training=True,
             rngs={"noise": noise_rng},
+            **extra,
         )
         metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         aux = _model_aux_loss(model, params)
@@ -133,10 +139,12 @@ def make_train_step(
 
 
 def make_eval_step(
-    model, stage: Stage, lmbda: float, intra_model=None, intra_params=None
+    model, stage: Stage, lmbda: float, intra_model=None, intra_params=None,
+    scan_frames: bool = False,
 ) -> Callable:
     """Deterministic eval mirror of the stage (round quantization)."""
     lmbda_arr = jnp.asarray(lmbda, jnp.float32)  # traced: see train step
+    extra = {"scan_frames": True} if scan_frames else {}
 
     @jax.jit
     def _eval(params, batch, lmbda_t):
@@ -150,6 +158,7 @@ def make_eval_step(
             motion_pretrain=stage.motion_pretrain,
             frame_pretrain=stage.frame_pretrain,
             training=False,
+            **extra,
         )
         metrics = rate_distortion_loss(out, frames[:, 1:], lmbda_t)
         metrics["aux_loss"] = _model_aux_loss(model, params)

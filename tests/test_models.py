@@ -298,3 +298,51 @@ class TestFast3WarmStartAlignment:
                     ("recon_generation_net" in k and "Conv_1" in k)), (
                 f"unexpected dropped fast3 leaf {k}")
         assert len(shared) > 10 * len(f4_only)
+
+
+class TestScanFrames:
+    """__call__(scan_frames=True) folds the steady-state P-frames into one
+    nn.scan: the math must match the Python unroll (same per-frame graph,
+    same DPB carry), with trace cost O(1) in the cascade length."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = DMC(cfg=SMALL)
+        frames = jax.random.uniform(jax.random.PRNGKey(7),
+                                    (2, 5, 64, 64, 3))
+        params = fast_init(model, KEY)
+        return model, params, frames
+
+    def test_eval_matches_unrolled(self, setup):
+        model, params, frames = setup
+        out_u = model.apply(params, frames, training=False)
+        out_s = model.apply(params, frames, training=False,
+                            scan_frames=True)
+        np.testing.assert_allclose(
+            np.asarray(out_s["x_hat"]), np.asarray(out_u["x_hat"]),
+            rtol=2e-5, atol=2e-6)
+        assert len(out_s["likelihoods"]) == len(out_u["likelihoods"])
+        for lk_s, lk_u in zip(out_s["likelihoods"], out_u["likelihoods"]):
+            for name in lk_u:
+                for a, b in zip(jax.tree_util.tree_leaves(lk_s[name]),
+                                jax.tree_util.tree_leaves(lk_u[name])):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+    def test_training_grads_finite(self, setup):
+        model, params, frames = setup
+
+        def loss(p):
+            out = model.apply(p, frames, training=True, scan_frames=True,
+                              rngs={"noise": jax.random.PRNGKey(1)})
+            l = jnp.mean((out["x_hat"] - frames[:, 1:]) ** 2)
+            for lk in out["likelihoods"]:
+                for leaf in jax.tree_util.tree_leaves(lk):
+                    l += -jnp.mean(jnp.log2(jnp.clip(leaf, 1e-9))) * 1e-4
+            return l
+
+        grads = jax.grad(loss)(params)
+        norms = [float(jnp.linalg.norm(g))
+                 for g in jax.tree_util.tree_leaves(grads)]
+        assert all(np.isfinite(n) for n in norms)
+        assert any(n > 0 for n in norms)
