@@ -51,13 +51,16 @@ while [ -f /root/campaign_r4f.out ] \
 done
 log "r4f clear; starting r4g"
 
-# ---- 1. 8192 inversion fix (curve top end vs the repaired anchor) ----
-CAMPAIGN3_TPU=1 FT_TAG=dmc_mf5b FT_INIT=$REPO/ckpts/dmc_8192_mf5.npz \
+# ---- 1. 8192 inversion fix (curve top end vs the repaired anchor).
+# FT_TAG=dmc_mf5i so its eval results join the SAME rd_report family
+# as phase 2's repaired-intra re-evals of 512/2048 — one 3-point curve
+# that overlaps the intra_r4d band, making BD-rate computable. ----
+CAMPAIGN3_TPU=1 FT_TAG=dmc_mf5i FT_INIT=$REPO/ckpts/dmc_8192_mf5.npz \
   FT_START=50 FT_END=52 FT_EXTRA="--learning-rate 5e-5" \
   EVAL_FRAMES=$FRAMES EVAL_STREAMS=4 \
   bash $REPO/scripts/campaign3.sh $WORK 8192
 python $REPO/scripts/export_weights.py \
-  checkpoints/dmc_mf5b/8192.0 $REPO/ckpts/dmc_8192_mf5b.npz --model dmc
+  checkpoints/dmc_mf5i/8192.0 $REPO/ckpts/dmc_8192_mf5b.npz --model dmc
 echo R4G-8192-DONE
 
 # ---- 2. re-eval the committed family vs the repaired intra ----
@@ -75,11 +78,14 @@ reeval() {  # $1 tag(family_lambda)  $2 npz  $3... extra args
       --cache-dir cache/${tag}_gop${gop}_f${FRAMES} --streams 4 "$@"
   done
 }
+# Tag names must match rd_report.py's family regex
+# ((dmc|dvc|dcvc)(_fast\d*)?(_mf\d+[a-z]?)?): the "i" suffix rides the
+# mf group, marking the repaired-intra protocol as a separate curve.
 reeval dmc_mf5i_512   $REPO/ckpts/dmc_512_mf5.npz
 reeval dmc_mf5i_2048  $REPO/ckpts/dmc_2048_mf5.npz
 reeval dmc_mf9i_2048  $REPO/ckpts/dmc_2048_mf9.npz
-reeval dmc_fast2i_2048 $REPO/ckpts/dmc_fast2_2048_mf5.npz --variant fast2
-reeval dmc_fast3i_2048 $REPO/ckpts/dmc_fast3_2048_mf5.npz --variant fast3
+reeval dmc_fast2_mf5i_2048 $REPO/ckpts/dmc_fast2_2048_mf5.npz --variant fast2
+reeval dmc_fast3_mf5i_2048 $REPO/ckpts/dmc_fast3_2048_mf5.npz --variant fast3
 echo R4G-REEVAL-DONE
 
 # ---- 3. fast3 long-cascade: mf9 via --scan-frames (drift fix for the
@@ -97,7 +103,7 @@ if [ ! -d checkpoints/dmc_fast3_mf9/2048.0/params_export ]; then
 fi
 python $REPO/scripts/export_weights.py checkpoints/dmc_fast3_mf9/2048.0 \
   $REPO/ckpts/dmc_fast3_2048_mf9.npz --model dmc --variant fast3
-reeval dmc_fast3i_mf9_2048 checkpoints/dmc_fast3_mf9/2048.0 --variant fast3
+reeval dmc_fast3_mf9i_2048 checkpoints/dmc_fast3_mf9/2048.0 --variant fast3
 echo R4G-F3MF9-DONE
 
 # ---- 4. DVC / DCVC trained RD points (r4b phase-3 recipe, repaired

@@ -116,8 +116,10 @@ def main():
     protos = sorted({k[1] for k in curves})
     families = sorted({k[0] for k in curves})
     print()
-    # all-intra anchor: prefer the re-trained r3b ladder when present
-    intra = runs.get("intra_r3b") or runs.get("intra")
+    # all-intra anchor: prefer the newest repaired ladder when present
+    # (r4d is monotone in both rate and fidelity — docs/RD.md)
+    intra = (runs.get("intra_r4d") or runs.get("intra_r3b")
+             or runs.get("intra"))
     for proto in protos:
         base = ("dmc", proto)
         # every family vs the all-intra anchor (the reference's own
