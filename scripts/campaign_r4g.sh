@@ -51,6 +51,16 @@ while [ -f /root/campaign_r4f.out ] \
 done
 log "r4f clear; starting r4g"
 
+# ---- 0b. per-stage 1080p profile of fast4 (the cut ranking for the
+# next round's device-compute levers; ~10 min, stage programs warm
+# from the r4f probe) ----
+if [ ! -f /root/fast4_profile.md ]; then
+  log "fast4 per-stage profile"
+  PROF_VARIANT=fast4 PROF_NPZ=$REPO/ckpts/dmc_fast3_2048_mf5.npz \
+    python $REPO/scripts/profile_stages.py | tee /root/fast4_profile.md
+fi
+echo R4G-PROFILE-DONE
+
 # ---- 1. 8192 inversion fix (curve top end vs the repaired anchor).
 # FT_TAG=dmc_mf5i so its eval results join the SAME rd_report family
 # as phase 2's repaired-intra re-evals of 512/2048 — one 3-point curve
