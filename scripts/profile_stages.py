@@ -103,6 +103,15 @@ def main():
         float(jnp.sum(tiny + 1.0))
     rtt = (time.perf_counter() - t0) / R
     print(f"fetch RTT baseline: {rtt*1e3:.1f} ms")
+    if rtt > 0.060:
+        # Usual RTT here is ~28 ms; a multiple of that means the core
+        # or the tunnel is contended and every RTT-corrected number
+        # below would be garbage (round-4 lesson: a contended run
+        # measured 166 ms RTT and every stage came out negative).
+        raise SystemExit(
+            f"ABORT: fetch RTT {rtt*1e3:.0f} ms >> the ~28 ms quiet-host"
+            " baseline — check `ps --sort=-pcpu` for CPU hogs and rerun"
+            " in a clean window (docs/PERFORMANCE.md measurement traps)")
 
     def first_leaf(o):
         return jax.tree_util.tree_leaves(o)[0]
