@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import queue
+import sys
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -58,14 +59,50 @@ def _axon_relay_preflight(timeout_s: float = 180.0):
             time.sleep(5)
 
 
+def _axon_client_probe(timeout_s: float = 240.0):
+    """Second-stage relay probe: init a real jax client in a subprocess.
+
+    Observed 2026-08-19 ~22:45: the relay can die in a ZOMBIE state
+    where 127.0.0.1:8083 still accepts TCP connects but every jax
+    client hangs forever in backend init — the TCP preflight above
+    passes and bench would hang with no JSON. So, after the port
+    answers, prove an end-to-end scalar fetch in a killable subprocess
+    before letting this process init the (unkillable-once-hung) axon
+    backend. Warm healthy init is ~15 s; the generous default timeout
+    covers a cold relay restart.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return None
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print('probe-ok', float(jnp.sum(jnp.ones(()))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0 and "probe-ok" in r.stdout:
+            return None
+        return ("axon client probe exited rc=%d (%s) — relay broken; "
+                "measuring the XLA:CPU fallback protocol instead"
+                % (r.returncode, (r.stderr or "").strip()[-200:]))
+    except subprocess.TimeoutExpired:
+        return (f"axon relay ZOMBIE: port 8083 answers but a jax client "
+                f"hung in backend init for {timeout_s:.0f}s — "
+                "infrastructure down, not a codec regression; measuring "
+                "the XLA:CPU fallback protocol instead")
+
+
 # Last successful TPU run before the relay died (docs/PERFORMANCE.md
-# round-2 table) — context attached to any CPU-fallback record.
+# round-4 table) — context attached to any CPU-fallback record.
 _LAST_TPU_MEASURED = {
-    "value": 1.312, "vs_baseline": 0.875,
-    "date": "2026-08-17", "variant": "fast",
-    "weights": "random-init",
-    "note": "trained weights expected ~1.5-1.7 (payloads shrink ~20x; "
-            "see docs/PERFORMANCE.md end-state)",
+    "value": 2.278, "vs_baseline": 1.518,
+    "date": "2026-08-19", "variant": "fast4",
+    "weights": "trained-checkpoint (ckpts/dmc_fast4_2048_mf5.npz, "
+               "full restore)",
+    "note": "uncontended post-reboot full-protocol run (1080p, 24 "
+            "frames x 4 streams, real bitstream), ~40 min before the "
+            "relay re-died in zombie mode; docs/PERFORMANCE.md round-4",
 }
 
 
@@ -74,7 +111,12 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
     relay_error = _axon_relay_preflight(preflight_grace)
+    if relay_error is None:
+        relay_error = _axon_client_probe(
+            float(os.environ.get("BENCH_CLIENT_PROBE_S", "240")))
     cpu_fallback = relay_error is not None
+    if cpu_fallback:
+        print(f"bench: {relay_error}", file=sys.stderr)
     import jax
 
     # Honor an explicit JAX_PLATFORMS even when the axon sitecustomize
