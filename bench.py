@@ -41,6 +41,14 @@ def _axon_relay_preflight(timeout_s: float = 180.0):
     driver's scoreboard artifact must never be empty on account of
     infrastructure.
     """
+    if os.environ.get("BENCH_FORCE_CPU_FALLBACK") == "1":
+        # Test knob: exercise the relay-down path (diagnostic print + CPU
+        # fallback protocol) regardless of actual relay state. The r4
+        # scoreboard was lost to an untested crash on exactly this path
+        # (a function-local `import sys` shadowing the module import);
+        # tests/test_bench_fallback.py runs bench end to end with this.
+        return ("forced CPU fallback (BENCH_FORCE_CPU_FALLBACK=1) — "
+                "smoke-testing the relay-down path")
     if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
         return None
     import socket
@@ -206,8 +214,6 @@ def main():
         if partial:
             from deepvideocodec_tpu.utils import (
                 restore_params_export_partial)
-
-            import sys
 
             params, hit, miss = restore_params_export_partial(npz, params)
             print(f"partial restore: {len(hit)} loaded, {len(miss)} fresh",

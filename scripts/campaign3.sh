@@ -67,6 +67,15 @@ ft() {  # $1 = lambda, $2 = variant (base|fast)
 
 eval_dmc() {  # $1 = lambda, $2 = variant, $3 = gop, $4 = ckpt tag
   local tag=$4
+  # Completeness guard (evaluate APPENDS one record per sequence — an
+  # unguarded re-run would double-count; a killed run leaves a partial
+  # file that must be deleted, not skipped). scripts/check_results.py.
+  local res=results/${tag}_$1_gop$3_f${EVAL_FRAMES:-24}/q6.json
+  if JAX_PLATFORMS=cpu python $REPO/scripts/check_results.py "$res" \
+       --expect "${EVAL_SEQS_N:-4}" --clean; then
+    log "eval $tag lambda=$1 gop=$3 already complete; skipping"
+    return 0
+  fi
   log "evaluating: $tag lambda=$1 gop=$3 (${EVAL_FRAMES:-24} frames)"
   python -m deepvideocodec_tpu.cli.evaluate -m dmc --variant $2 \
     --frames-root data/eval -q 6 --gop $3 --frames ${EVAL_FRAMES:-24} \

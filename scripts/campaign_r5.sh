@@ -38,6 +38,13 @@ log() { echo "[r5 $(date +%H:%M:%S)] $*"; }
 
 FRAMES=${EVAL_FRAMES:-96}
 INTRA_NPZ=$REPO/ckpts/intra_q6_r4d.npz
+NSEQ=${EVAL_SEQS_N:-4}   # eval corpus size — completeness guards
+
+# done() — completeness guard (not existence: evaluate appends one
+# record per sequence, so a killed run leaves a partial q6.json that an
+# existence guard would skip forever). Deletes partials for clean re-run.
+done_eval() { JAX_PLATFORMS=cpu python $REPO/scripts/check_results.py \
+  "$1" --expect "$NSEQ" --clean; }
 
 # ---- 0a. gate on a REAL jax client probe (port-open is not proof of
 # life: the relay died once in a zombie state where 8083 accepted TCP
@@ -51,6 +58,12 @@ done
 log "relay alive; bootstrapping"
 
 # ---- 0b. corpora (seed-0 regen is bit-identical to the wiped trees) ----
+# The CPU chain (campaign_r5_cpu.sh) may be mid-generation when the
+# relay wakes this chain up — wait for its bootstrap lock, don't race.
+while [ -f .bootstrap.lock ]; do
+  log "CPU chain holds .bootstrap.lock (corpora in progress); waiting"
+  sleep 60
+done
 if [ ! -f data/vimeo/sep_trainlist.txt ]; then
   log "generating base synthetic corpus (train clips + images + eval)"
   JAX_PLATFORMS=cpu python -m deepvideocodec_tpu.cli.synth_data \
@@ -73,22 +86,29 @@ fi
 echo R5-DATA-DONE
 
 # ---- 1. lambda=16384: DMC curve top end into the anchor band ----
-if [ ! -d checkpoints/dmc_mf5i/16384.0/params_export ]; then
+# Guard train+eval+export together on BOTH evals being complete (the
+# campaign3 train is internally guarded, but its evals/export were not —
+# ADVICE r4 low: the old guard closed before the invocation, a no-op).
+if done_eval results/dmc_mf5i_16384_gop8_f${FRAMES}/q6.json && \
+   done_eval results/dmc_mf5i_16384_gop32_f${FRAMES}/q6.json && \
+   [ -f $REPO/ckpts/dmc_16384_mf5.npz ]; then
+  log "lambda=16384 point already landed; skipping"
+else
   log "lambda=16384 mf5 fine-tune (2 epochs half-LR from 8192b)"
+  CAMPAIGN3_TPU=1 FT_TAG=dmc_mf5i FT_INIT=$REPO/ckpts/dmc_8192_mf5b.npz \
+    FT_START=50 FT_END=52 FT_EXTRA="--learning-rate 5e-5" \
+    EVAL_FRAMES=$FRAMES EVAL_STREAMS=4 \
+    bash $REPO/scripts/campaign3.sh $WORK 16384
+  python $REPO/scripts/export_weights.py \
+    checkpoints/dmc_mf5i/16384.0 $REPO/ckpts/dmc_16384_mf5.npz --model dmc
 fi
-CAMPAIGN3_TPU=1 FT_TAG=dmc_mf5i FT_INIT=$REPO/ckpts/dmc_8192_mf5b.npz \
-  FT_START=50 FT_END=52 FT_EXTRA="--learning-rate 5e-5" \
-  EVAL_FRAMES=$FRAMES EVAL_STREAMS=4 \
-  bash $REPO/scripts/campaign3.sh $WORK 16384
-python $REPO/scripts/export_weights.py \
-  checkpoints/dmc_mf5i/16384.0 $REPO/ckpts/dmc_16384_mf5.npz --model dmc
 echo R5-16384-DONE
 
 # ---- 2. repaired-anchor re-eval leftovers (r4g phase 2 minus what
 # campaign_r4h.sh already landed; same per-artifact guards) ----
 reeval() {  # $1 tag  $2 npz  $3 gop  $4... extra args
   local tag=$1 npz=$2 gop=$3; shift 3
-  if [ -f results/${tag}_gop${gop}_f${FRAMES}/q6.json ]; then
+  if done_eval results/${tag}_gop${gop}_f${FRAMES}/q6.json; then
     log "reeval $tag gop$gop already done; skipping"
   else
     log "reeval $tag gop=$gop ($FRAMES frames, repaired intra)"
@@ -139,22 +159,35 @@ FAM_ARGS="-d data/vimeo --lambda 2048 --batch-size 8 --max-frames 3
   --log-every 20 --name r5"
 family() {  # $1 = dvc|dcvc
   local m=$1
-  log "$m phase A: 4 epochs MSE (stage frame_mse)"
-  python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
-    --checkpoint checkpoints/${m}_a/2048.0 --start-epoch 20 -e 24
-  log "$m phase B: 4 epochs e2e RD"
-  python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
-    --init-from checkpoints/${m}_a/2048.0 \
-    --checkpoint checkpoints/${m}_b/2048.0 --start-epoch 44 -e 48
-  log "$m phase C: 2 epochs e2e_intra (frozen repaired-intra I-frame)"
-  python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
-    --init-from checkpoints/${m}_b/2048.0 \
-    --checkpoint checkpoints/${m}_c/2048.0 --start-epoch 50 -e 52 \
-    -q 6 --intra-checkpoint $INTRA_NPZ
+  # campaign_r5_cpu.sh trains these same dirs on XLA:CPU while the
+  # relay is down; wait for its lock rather than double-training (its
+  # phases auto-resume, so whichever chain gets there first wins).
+  while [ -f .families_cpu.lock ]; do
+    log "CPU chain training dvc/dcvc (.families_cpu.lock); waiting 10 min"
+    sleep 600
+  done
+  if [ ! -d checkpoints/${m}_a/2048.0/params_export ]; then
+    log "$m phase A: 4 epochs MSE (stage frame_mse)"
+    python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
+      --checkpoint checkpoints/${m}_a/2048.0 --start-epoch 20 -e 24
+  fi
+  if [ ! -d checkpoints/${m}_b/2048.0/params_export ]; then
+    log "$m phase B: 4 epochs e2e RD"
+    python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
+      --init-from checkpoints/${m}_a/2048.0 \
+      --checkpoint checkpoints/${m}_b/2048.0 --start-epoch 44 -e 48
+  fi
+  if [ ! -d checkpoints/${m}_c/2048.0/params_export ]; then
+    log "$m phase C: 2 epochs e2e_intra (frozen repaired-intra I-frame)"
+    python -m deepvideocodec_tpu.cli.train -m $m $FAM_ARGS \
+      --init-from checkpoints/${m}_b/2048.0 \
+      --checkpoint checkpoints/${m}_c/2048.0 --start-epoch 50 -e 52 \
+      -q 6 --intra-checkpoint $INTRA_NPZ
+  fi
   python $REPO/scripts/export_weights.py checkpoints/${m}_c/2048.0 \
     $REPO/ckpts/${m}_2048.npz --model $m
   for gop in 8 32; do
-    if [ ! -f results/${m}_2048_gop${gop}_f${FRAMES}/q6.json ]; then
+    if ! done_eval results/${m}_2048_gop${gop}_f${FRAMES}/q6.json; then
       log "eval $m gop=$gop ($FRAMES frames)"
       python -m deepvideocodec_tpu.cli.evaluate -m $m \
         --frames-root data/eval -q 6 --gop $gop --frames $FRAMES \
