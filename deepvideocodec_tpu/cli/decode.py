@@ -43,7 +43,7 @@ def parse_args(argv=None):
                    help="directory for decoded f%%05d.png frames")
     p.add_argument("--orig", type=str, default=None,
                    help="dir of original *.png frames to PSNR against")
-    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4"], default="base",
+    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4", "fast5", "fast6"], default="base",
                    help="dmc topology (must match the checkpoint's)")
     p.add_argument("--unet-width", type=int, default=None,
                    help="recon UNet base width (must match the "

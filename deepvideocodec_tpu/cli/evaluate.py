@@ -54,7 +54,7 @@ def parse_args(argv=None):
     p.add_argument("--results-dir", type=str, default="results")
     p.add_argument("--cache-dir", type=str, default="cache")
     p.add_argument("--dataset-name", type=str, default="uvg")
-    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4"], default="base",
+    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4", "fast5", "fast6"], default="base",
                    help="dmc topology (must match the checkpoint's)")
     p.add_argument("--unet-width", type=int, default=None,
                    help="recon UNet base width (must match the "

@@ -57,6 +57,13 @@ def parse_args(argv=None):
     p.add_argument("--lr-milestones", type=int, nargs="*", default=[300])
     p.add_argument("--log-every", type=int, default=100,
                    help="log train metrics every N steps")
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="cap train steps per epoch (a random subset of "
+                        "the shuffled epoch order). For hosts where a "
+                        "full epoch is infeasible (the 1-core CPU "
+                        "campaign fallback); epoch/stage accounting and "
+                        "resume math use the capped length, so pass the "
+                        "SAME cap on every resume of a run")
     p.add_argument("--intra-checkpoint", type=str, default=None,
                    help="trained intra codec ckpt for the epoch>=50 stage")
     p.add_argument("--init-from", type=str, default=None,
@@ -75,7 +82,7 @@ def parse_args(argv=None):
                    help="force the starting epoch (selects the curriculum "
                         "stage) for --init-from fine-tunes; also applied "
                         "on resume of such a run")
-    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4"], default="base",
+    p.add_argument("--variant", choices=["base", "fast", "fast2", "fast3", "fast4", "fast5", "fast6"], default="base",
                    help="dmc topology: 'fast' enables warp_ctx_half + "
                         "flow_half (models/dmc.py) — the speed variant "
                         "whose RD the campaign validates")
@@ -168,6 +175,8 @@ def main(argv=None):
     example = jnp.zeros(
         (1, args.max_frames, *args.patch_size, 3), jnp.float32)
     steps_per_epoch = max(len(train_loader), 1)
+    if args.steps_per_epoch is not None:
+        steps_per_epoch = max(min(steps_per_epoch, args.steps_per_epoch), 1)
     schedule = multistep_lr(
         args.learning_rate,
         [m * steps_per_epoch for m in args.lr_milestones])
@@ -272,6 +281,8 @@ def main(argv=None):
         tic = time.time()
         seen = 0
         for i, batch in enumerate(train_loader):
+            if i >= steps_per_epoch:
+                break
             batch = device_put_batch(jnp.asarray(batch), mesh)
             state, metrics = train_step(state, batch, rng)
             seen += batch.shape[0]

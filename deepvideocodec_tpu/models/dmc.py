@@ -107,8 +107,36 @@ class DMCConfig:
     #     load everything but that head. Requires ctx_half + recon_half
     #     (the context/recon consumers must already be on the /2 path).
     feat_half: bool = False
+    #   Round-5 cuts, ranked by the analytic per-stage FLOP table
+    #   (scripts/flops_stages.py; docs/PERFORMANCE.md round-5). The two
+    #   decode-side stages run TWICE per coded frame (the encoder embeds
+    #   the decoder), so cuts there are doubly weighted.
+    #   ctx_slim ("fast5" = fast4 + this): drop the /2 ResBlocks on the
+    #     context path — the fusion net's c3_up/c2_up/c2_out branch
+    #     blocks and the extractor's l2 block. MultiScaleContextFusion
+    #     is the single largest module left in fast4 (~600 GFLOP/call of
+    #     the 877 in dec_mv_combine_ctx, x2 calls/frame); the dropped
+    #     blocks are ~460 GFLOP/frame, ~11% of the total. Drop-only =
+    #     fast5's param tree is a strict subset of fast4's, so
+    #     --init-partial warm starts load every remaining leaf.
+    #   flow_quarter ("fast6" = fast5 + this): SpyNet runs on /4-pooled
+    #     frames (4 levels from /4); the flow is upsampled back with
+    #     value scaling. No param change. SpyNet is ~430 GFLOP of
+    #     enc_motion's 491; this cuts ~75% of it (~8% of total) at the
+    #     cost of twice-coarsened motion — RD must be re-measured.
+    ctx_slim: bool = False
+    flow_quarter: bool = False
 
     def __post_init__(self):
+        if self.ctx_slim and not self.ctx_half:
+            raise ValueError(
+                "ctx_slim drops the /2 context-path ResBlocks of the "
+                "ctx_half topology (fusion c1_half branch); enable "
+                "ctx_half first")
+        if self.flow_quarter and not self.flow_half:
+            raise ValueError(
+                "flow_quarter extends flow_half's pooled SpyNet input "
+                "to /4; enable flow_half first")
         if (self.mv_half_dec or self.ctx_half) and not self.warp_ctx_half:
             raise ValueError(
                 "mv_half_dec/ctx_half assume the /2 context-mining path "
@@ -150,6 +178,7 @@ class FeatureExtractor(nn.Module):
     channels: int = 64
     lite: bool = False
     half: bool = False
+    slim: bool = False   # DMCConfig.ctx_slim: drop l2's ResBlock too
 
     @nn.compact
     def __call__(self, feature):
@@ -162,7 +191,8 @@ class FeatureExtractor(nn.Module):
         if not self.lite:
             l1 = ResBlock(self.channels, name="ResBlock_0")(l1)
         l2 = conv(self.channels, 3, 1 if self.half else 2)(l1)
-        l2 = ResBlock(self.channels, name="ResBlock_1")(l2)
+        if not self.slim:
+            l2 = ResBlock(self.channels, name="ResBlock_1")(l2)
         l3 = conv(self.channels, 3, 2)(l2)
         l3 = ResBlock(self.channels, name="ResBlock_2")(l3)
         return l1, l2, l3
@@ -186,6 +216,7 @@ class MultiScaleContextFusion(nn.Module):
     channels: int = 64
     lite: bool = False
     c1_half: bool = False
+    slim: bool = False   # DMCConfig.ctx_slim: drop the /2 branch blocks
 
     @nn.compact
     def __call__(self, context1, context2, context3):
@@ -203,15 +234,23 @@ class MultiScaleContextFusion(nn.Module):
             return (context1 + c1_out, context2 + c2_out,
                     context3 + c3_out)
         # /2-native c1 branch. Base auto-names pinned on shared modules.
-        c3_up = ResBlock(c, name="ResBlock_0")(
-            SubpelConv(c, 2, name="SubpelConv_0")(context3))
+        # `slim` (DMCConfig.ctx_slim) drops the three /2-scale ResBlocks
+        # (c3_up / c2_up / c2_out tails — ~38.5 GMAC each at 1080p,
+        # the fusion net's cost center after ctx_half); the /4-scale
+        # ResBlock_1 stays (cheap, keeps c3-branch capacity). Drop-only:
+        # the surviving conv leaves keep their exact paths.
+        c3_up = SubpelConv(c, 2, name="SubpelConv_0")(context3)
+        if not self.slim:
+            c3_up = ResBlock(c, name="ResBlock_0")(c3_up)
         c3_out = ResBlock(c, name="ResBlock_1")(
             conv(c, name="Conv_0")(context3))
         cat32 = jnp.concatenate([c3_up, context2], axis=-1)
-        c2_up = ResBlock(c, name="ResBlock_2")(
-            conv(c, name="c2_up_half")(cat32))  # same scale: no subpel
-        c2_out = ResBlock(c, name="ResBlock_3")(
-            conv(c, name="Conv_1")(cat32))
+        c2_up = conv(c, name="c2_up_half")(cat32)  # same scale: no subpel
+        if not self.slim:
+            c2_up = ResBlock(c, name="ResBlock_2")(c2_up)
+        c2_out = conv(c, name="Conv_1")(cat32)
+        if not self.slim:
+            c2_out = ResBlock(c, name="ResBlock_3")(c2_out)
         cat21 = jnp.concatenate([c2_up, context1], axis=-1)
         c1_out = conv(c, name="Conv_2")(cat21)
         if not self.lite:
@@ -354,9 +393,9 @@ class DMC(nn.Module):
         self.feature_adaptor_i = conv(c.n, 3, 2 if c.feat_half else 1)
         self.feature_adaptor_p = conv(c.n, 1)
         self.feature_extractor = FeatureExtractor(
-            c.n, lite=c.ctx_lite, half=c.feat_half)
+            c.n, lite=c.ctx_lite, half=c.feat_half, slim=c.ctx_slim)
         self.context_fusion_net = MultiScaleContextFusion(
-            c.n, lite=c.ctx_lite, c1_half=c.ctx_half)
+            c.n, lite=c.ctx_lite, c1_half=c.ctx_half, slim=c.ctx_slim)
         self.contextual_encoder = ContextualEncoder(
             c.n, c.m, c1_half=c.ctx_half)
         self.contextual_decoder = ContextualDecoder(
@@ -377,6 +416,14 @@ class DMC(nn.Module):
         return self.feature_extractor(feature)
 
     def _estimate_flow(self, x_cur, x_ref):
+        if self.cfg.flow_quarter:
+            # SpyNet on /4 pyramids (DMCConfig.flow_quarter): two pools
+            # in, two value-scaled upsamples out. Same params as the
+            # /2 form (SpyNet is input-scale-free).
+            mv = self.optic_flow(avg_pool_2x2(avg_pool_2x2(x_cur)),
+                                 avg_pool_2x2(avg_pool_2x2(x_ref)))
+            mv = bilinear_upsample_x2(mv) * 2.0
+            return bilinear_upsample_x2(mv) * 2.0
         if self.cfg.flow_half:
             mv = self.optic_flow(avg_pool_2x2(x_cur), avg_pool_2x2(x_ref))
             return bilinear_upsample_x2(mv) * 2.0

@@ -24,8 +24,11 @@ def build_inter_model(name: str, variant: str = "base",
     ctx_half + recon_half — the round-3 device-compute cut set);
     `variant="fast4"` additionally stores the DPB feature itself at /2
     (DMCConfig.feat_half — deletes the last full-res 64-channel convs;
-    RGB comes from a fresh /2 subpel head). `unet_width` overrides the
-    recon UNet base width.
+    RGB comes from a fresh /2 subpel head); `variant="fast5"` drops the
+    /2 context-path ResBlocks (DMCConfig.ctx_slim — the round-5
+    FLOP-ranked cut, scripts/flops_stages.py); `variant="fast6"` also
+    runs SpyNet on /4 pyramids (DMCConfig.flow_quarter). `unet_width`
+    overrides the recon UNet base width.
     All are DMC-topology knobs; passing them for DVC/DCVC raises
     ValueError.
     """
@@ -35,15 +38,21 @@ def build_inter_model(name: str, variant: str = "base",
 
     if name == "dmc":
         kw = {}
-        if variant in ("fast", "fast2", "fast3", "fast4"):
+        ladder = ("fast", "fast2", "fast3", "fast4", "fast5", "fast6")
+        if variant in ladder:
+            rung = ladder.index(variant)
             kw.update(warp_ctx_half=True, flow_half=True)
-            if variant in ("fast2", "fast3", "fast4"):
+            if rung >= 1:
                 kw.update(ctx_lite=True, recon_single_unet=True)
-            if variant in ("fast3", "fast4"):
+            if rung >= 2:
                 kw.update(mv_half_dec=True, ctx_half=True,
                           recon_half=True)
-            if variant == "fast4":
+            if rung >= 3:
                 kw.update(feat_half=True)
+            if rung >= 4:
+                kw.update(ctx_slim=True)
+            if rung >= 5:
+                kw.update(flow_quarter=True)
         elif variant != "base":
             raise ValueError(f"unknown variant {variant!r}")
         if unet_width is not None:

@@ -154,9 +154,13 @@ f_mf9 fast3 $REPO/ckpts/dmc_fast3_2048_mf5.npz
 echo R5-F3MF9-DONE
 
 # ---- 4. DVC / DCVC trained RD points (r4g phase-4 recipe) ----
+# FAM_STEPS must stay identical to campaign_r5_cpu.sh's (the CPU chain
+# may have trained or part-trained these dirs; resume math divides by
+# the capped epoch length).
+FAM_STEPS=${FAM_STEPS:-24}
 FAM_ARGS="-d data/vimeo --lambda 2048 --batch-size 8 --max-frames 3
   --patch-size 128 128 --num-workers 2 --test-batch-size 8
-  --log-every 20 --name r5"
+  --steps-per-epoch $FAM_STEPS --log-every 8 --name r5"
 family() {  # $1 = dvc|dcvc
   local m=$1
   # campaign_r5_cpu.sh trains these same dirs on XLA:CPU while the

@@ -62,9 +62,14 @@ echo R5CPU-DATA-DONE
 
 # ---- 1. DVC / DCVC family training (identical args to campaign_r5.sh
 # family(); train-only — evals belong to the TPU chain) ----
+# --steps-per-epoch caps the epoch at FAM_STEPS steps (~25-45 s/step on
+# this 1-core host; the full 58-step epoch x 10 epochs is a >6 h/family
+# recipe that cannot land inside a round). MUST match campaign_r5.sh's
+# FAM_ARGS exactly — epoch/resume math divides by the capped length.
+FAM_STEPS=${FAM_STEPS:-24}
 FAM_ARGS="-d data/vimeo --lambda 2048 --batch-size 8 --max-frames 3
   --patch-size 128 128 --num-workers 2 --test-batch-size 8
-  --log-every 20 --name r5"
+  --steps-per-epoch $FAM_STEPS --log-every 8 --name r5"
 train_family() {  # $1 = dvc|dcvc
   local m=$1
   if [ ! -d checkpoints/${m}_a/2048.0/params_export ]; then

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("out")
     p.add_argument("--model", default="dmc",
                    choices=["dmc", "dvc", "dcvc", "intra"])
-    p.add_argument("--variant", default="base", choices=["base", "fast", "fast2", "fast3", "fast4"])
+    p.add_argument("--variant", default="base", choices=["base", "fast", "fast2", "fast3", "fast4", "fast5", "fast6"])
     p.add_argument("--quality", type=int, default=6,
                    help="intra ladder point (--model intra)")
     p.add_argument("--unet-width", type=int, default=None,

@@ -276,6 +276,14 @@ _VARIANT_FLAGS = {
                   ctx_lite=True, recon_single_unet=True,
                   mv_half_dec=True, ctx_half=True, recon_half=True,
                   feat_half=True),
+    "fast5": dict(warp_ctx_half=True, flow_half=True,
+                  ctx_lite=True, recon_single_unet=True,
+                  mv_half_dec=True, ctx_half=True, recon_half=True,
+                  feat_half=True, ctx_slim=True),
+    "fast6": dict(warp_ctx_half=True, flow_half=True,
+                  ctx_lite=True, recon_single_unet=True,
+                  mv_half_dec=True, ctx_half=True, recon_half=True,
+                  feat_half=True, ctx_slim=True, flow_quarter=True),
 }
 
 
