@@ -120,6 +120,18 @@ def main():
     # (r4d is monotone in both rate and fidelity — docs/RD.md)
     intra = (runs.get("intra_r4d") or runs.get("intra_r3b")
              or runs.get("intra"))
+    if intra is None:
+        # /root/campaign/results is wiped on VM resets; fall back to the
+        # committed cache of the r4d TPU measurement (same seed-0 eval
+        # corpus, same 96-frame protocol) so the headline BD-rate stays
+        # computable. A live results/intra_* dir always takes precedence.
+        cached = (Path(__file__).resolve().parent.parent
+                  / "probes" / "intra_r4d_anchor.json")
+        if cached.exists():
+            doc = json.loads(cached.read_text())
+            intra = [(p["q"], p["bpp"], p["psnr"]) for p in doc["points"]]
+            print(f"[anchor] no live intra results; using cached r4d "
+                  f"ladder ({doc['protocol']}) from {cached.name}")
     for proto in protos:
         base = ("dmc", proto)
         # every family vs the all-intra anchor (the reference's own
