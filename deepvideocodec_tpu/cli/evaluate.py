@@ -238,7 +238,8 @@ def main(argv=None):
             all_stats = evaluate_sequences_parallel(
                 inter_codec, intra_codec, seqs, gop=args.gop,
                 streams=args.streams,
-                results_path=results_dir / f"q{q}.json", quality=q)
+                results_path=results_dir / f"q{q}.json", quality=q,
+                per_frame=args.per_frame)
             for stats in all_stats:
                 agg_bpp.append(stats["bpp"])
                 agg_psnr.append(stats["psnr"])

@@ -161,12 +161,14 @@ def evaluate_video(
     tic = time.time()
     mses = []
     msssims = []
+    frame_secs = []
     n_frames = 0
     h = w = None
     dpb = None
 
     with bits_path.open("wb") as f:
         for fi, x in enumerate(frames):
+            f_tic = time.perf_counter()
             _, h, w, _ = x.shape
             x_pad = jnp.asarray(pad_to_multiple(np.asarray(x), 64))
 
@@ -195,6 +197,7 @@ def evaluate_video(
             if compute_msssim:
                 msssims.append(device_msssim(x_pad, rec_pad, (h, w)))
             n_frames += 1
+            frame_secs.append(time.perf_counter() - f_tic)
 
     psnrs = mses_to_psnrs(mses)
     num_pixels = h * w * n_frames
@@ -211,6 +214,11 @@ def evaluate_video(
     if per_frame:
         # drift visibility: the PSNR trajectory within/across GOPs
         stats["psnr_per_frame"] = [round(float(v), 3) for v in psnrs]
+        # wall-time trajectory: diagnoses whether the GOP-32 eval-time
+        # anomaly (12 vs 4.5 min at equal frame counts, docs/NEXT.md)
+        # grows within the P-chain (drift->wider symbols->rANS bypass
+        # escapes) or is flat (link/compile overhead)
+        stats["sec_per_frame"] = [round(t, 4) for t in frame_secs]
     if compute_msssim:
         import jax
 

@@ -39,6 +39,7 @@ class _SeqWorker:
         self.bits_path = Path(bits_path)
         self.gop = gop
         self.mses: List = []
+        self.frame_secs: List[float] = []
         self.h = self.w = None
         self.n = 0
         self.tic = time.time()
@@ -55,6 +56,7 @@ class _SeqWorker:
             first_p = True
             with self.bits_path.open("wb") as f:
                 for fi, x in enumerate(self.frames):
+                    f_tic = time.perf_counter()
                     _, self.h, self.w, _ = x.shape
                     x_pad = jnp.asarray(pad_to_multiple(np.asarray(x), 64))
                     if fi % self.gop == 0:
@@ -80,6 +82,7 @@ class _SeqWorker:
                     self.mses.append(device_mse(x_pad, rec_pad,
                                                 (self.h, self.w)))
                     self.n += 1
+                    self.frame_secs.append(time.perf_counter() - f_tic)
             if self.n == 0:
                 raise ValueError(
                     f"sequence for {self.bits_path} yielded no frames")
@@ -87,9 +90,10 @@ class _SeqWorker:
         except BaseException as e:  # surfaced in join()
             self.error = e
 
-    def stats(self, video_name: str, quality: int) -> Dict[str, float]:
+    def stats(self, video_name: str, quality: int,
+              per_frame: bool = False) -> Dict[str, float]:
         psnrs = mses_to_psnrs(self.mses)
-        return {
+        out = {
             "video": video_name,
             "quality": quality,
             "bpp": self.bits_path.stat().st_size * 8.0
@@ -98,6 +102,14 @@ class _SeqWorker:
             "frames": self.n,
             "seconds": time.time() - self.tic,
         }
+        if per_frame:
+            # parity with evaluate_video's --per-frame (previously the
+            # flag was silently dropped on the streams path); wall time
+            # per frame includes stream-interleave waits but still shows
+            # whether cost grows along the P-chain (the GOP-32 anomaly)
+            out["psnr_per_frame"] = [round(float(v), 3) for v in psnrs]
+            out["sec_per_frame"] = [round(t, 4) for t in self.frame_secs]
+        return out
 
 
 def evaluate_sequences_parallel(
@@ -108,6 +120,7 @@ def evaluate_sequences_parallel(
     streams: int = 4,
     results_path=None,
     quality: int = 0,
+    per_frame: bool = False,
 ) -> List[Dict[str, float]]:
     """Evaluate sequences `streams` at a time; returns per-sequence stats.
 
@@ -128,7 +141,7 @@ def evaluate_sequences_parallel(
             wk.thread.join()
             if wk.error is not None:
                 raise wk.error
-            stats = wk.stats(name, quality)
+            stats = wk.stats(name, quality, per_frame=per_frame)
             if results_path is not None:
                 append_result(results_path, stats)
             results.append(stats)
