@@ -116,22 +116,29 @@ def main():
     protos = sorted({k[1] for k in curves})
     families = sorted({k[0] for k in curves})
     print()
-    # all-intra anchor: prefer the newest repaired ladder when present
-    # (r4d is monotone in both rate and fidelity — docs/RD.md)
-    intra = (runs.get("intra_r4d") or runs.get("intra_r3b")
-             or runs.get("intra"))
-    if intra is None:
-        # /root/campaign/results is wiped on VM resets; fall back to the
-        # committed cache of the r4d TPU measurement (same seed-0 eval
-        # corpus, same 96-frame protocol) so the headline BD-rate stays
-        # computable. A live results/intra_* dir always takes precedence.
-        cached = (Path(__file__).resolve().parent.parent
-                  / "probes" / "intra_r4d_anchor.json")
-        if cached.exists():
-            doc = json.loads(cached.read_text())
-            intra = [(p["q"], p["bpp"], p["psnr"]) for p in doc["points"]]
-            print(f"[anchor] no live intra results; using cached r4d "
-                  f"ladder ({doc['protocol']}) from {cached.name}")
+    # all-intra anchor: union of (a) the committed cache of the r4d TPU
+    # measurement (probes/intra_r4d_anchor.json — /root/campaign/results
+    # dies with every VM reset) and (b) every live results/intra_* run,
+    # merged per quality with LIVE points overriding cached ones (same
+    # GOP-1 96-frame seed-0 protocol throughout; r5 adds q2/q3 to
+    # extend the anchor band downward so it overlaps the DMC curves).
+    anchor: dict = {}
+    cached = (Path(__file__).resolve().parent.parent
+              / "probes" / "intra_r4d_anchor.json")
+    if cached.exists():
+        doc = json.loads(cached.read_text())
+        anchor.update(
+            (p["q"], (p["q"], p["bpp"], p["psnr"])) for p in doc["points"])
+        cached_qs = set(anchor)
+    for name in sorted(runs):
+        if name.startswith("intra"):
+            anchor.update((q, (q, bpp, psnr)) for q, bpp, psnr in runs[name])
+    intra = sorted(anchor.values()) or None
+    if intra and cached.exists():
+        live_qs = {q for q, _, _ in intra} - cached_qs
+        print(f"[anchor] {len(intra)} intra points "
+              f"({len(cached_qs & {q for q, _, _ in intra})} cached r4d, "
+              f"live: {sorted(live_qs) or 'none'})")
     for proto in protos:
         base = ("dmc", proto)
         # every family vs the all-intra anchor (the reference's own
