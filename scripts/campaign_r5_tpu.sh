@@ -62,7 +62,8 @@ log "relay alive; starting r5 TPU queue"
 # ---- 1. fast5 / fast6 speed probes (no corpora needed — bench.py
 # synthesizes its own input) ----
 probe() {  # $1 variant
-  local v=$1 out=$REPO/probes/${v}_probe.json
+  local v=$1
+  local out=$REPO/probes/${v}_probe.json
   if [ -s "$out" ] && grep -q '"metric"' "$out"; then
     log "$v probe already landed; skipping"
   else

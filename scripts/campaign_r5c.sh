@@ -89,7 +89,10 @@ echo R5C-CRITEVAL-DONE
 
 # ---- 3. fast5 / fast6 probes ----
 probe() {  # $1 variant
-  local v=$1 out=$REPO/probes/${v}_probe.json
+  # NB: separate `local` statements — `local a=$1 b=${a}` expands BOTH
+  # words before either assignment runs (set -u: unbound variable).
+  local v=$1
+  local out=$REPO/probes/${v}_probe.json
   if [ -s "$out" ] && grep -q '"metric"' "$out"; then
     log "$v probe already landed; skipping"
   else
