@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
+import time
 from pathlib import Path
 
 
@@ -174,8 +175,17 @@ def main(argv=None):
                     for d in gp_devs]
         inter_codec = None
     else:
-        inter_codec = (None if args.model == "intra"
-                       else codec_cls(model, params))
+        if args.model == "intra":
+            inter_codec = None
+        else:
+            # constructor builds the entropy CDF tables and the jitted
+            # stage-program wrappers; log its cost — construction has
+            # been observed anywhere from ~1 to ~10 min on this link
+            # (docs/PERFORMANCE.md GOP-32 anomaly note) and needs to be
+            # attributable separately from coding warm-up
+            tic = time.time()
+            inter_codec = codec_cls(model, params)
+            logging.info("inter codec constructed in %.1fs", time.time() - tic)
 
     from ..eval.evaluator import append_result
 
@@ -223,7 +233,10 @@ def main(argv=None):
                 "seqs\x1b[0m", q, float(np.mean(agg_bpp)),
                 float(np.mean(agg_psnr)), len(seq_dirs))
             continue
+        tic = time.time()
         intra_codec = build_intra_codec(q)
+        logging.info("q=%d: intra codec constructed in %.1fs",
+                     q, time.time() - tic)
         if args.streams > 1:
             if args.msssim or args.pipelined:
                 raise SystemExit(
