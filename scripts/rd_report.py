@@ -51,6 +51,23 @@ def main():
             if pts:
                 runs[d.name] = pts
 
+    # Merge cached TPU measurements whose live results trees were lost
+    # to VM resets (same protocol/corpus — provenance inside the file).
+    # A live directory of the same name always wins.
+    cached_runs = (Path(__file__).resolve().parent.parent
+                   / "probes" / "dmc_mf5i_cached_points.json")
+    if cached_runs.exists():
+        live = set(runs)
+        restored = []
+        for p in json.loads(cached_runs.read_text())["points"]:
+            if p["run"] not in live:
+                runs.setdefault(p["run"], []).append(
+                    (p["q"], p["bpp"], p["psnr"]))
+                restored.append(p["run"])
+        if restored:
+            print(f"[cache] merged {len(restored)} r4-measured points "
+                  f"with no live results dir: {', '.join(restored)}")
+
     print("| run | quality | bpp | psnr (dB) |")
     print("|---|---|---|---|")
     for name, pts in runs.items():
