@@ -156,22 +156,34 @@ def main():
         print(f"[anchor] {len(intra)} intra points "
               f"({len(cached_qs & {q for q, _, _ in intra})} cached r4d, "
               f"live: {sorted(live_qs) or 'none'})")
+    # Two anchor bands, reported side by side (docs/RD.md r5 "q2 budget
+    # wrinkle"): the FULL band unions every trained intra point — the
+    # strictest comparison, but its low-q rungs (q2/q3, r5) carry more
+    # training budget than the r4d rule (budgets equalize marginal
+    # returns, rising with q) grants them; the R4D band is the
+    # budget-documented q4-q6 ladder alone.
+    anchor_bands = []
+    if intra and len(intra) >= 2:
+        anchor_bands.append(("all-intra", intra))
+    r4d_only = [p for p in (intra or []) if p[0] in ("q4", "q5", "q6")]
+    if len(r4d_only) >= 2 and len(r4d_only) != len(intra or []):
+        anchor_bands.append(("all-intra[r4d-band]", r4d_only))
     for proto in protos:
         base = ("dmc", proto)
         # every family vs the all-intra anchor (the reference's own
         # headline comparison: P-frame coding gain over the I-codec)
-        if intra and len(intra) >= 2:
-            ir, ip = pareto([p[1] for p in intra],
-                            [p[2] for p in intra], label="intra")
+        for aname, apts in anchor_bands:
+            ir, ip = pareto([p[1] for p in apts],
+                            [p[2] for p in apts], label=aname)
             for fam in families:
                 fr, fp = rp((fam, proto))
                 if len(fr) < 2:
                     continue
                 try:
-                    print(f"BD-rate({fam} vs all-intra, {proto}): "
+                    print(f"BD-rate({fam} vs {aname}, {proto}): "
                           f"{bd_rate(ir, ip, fr, fp):+.1f}%")
                 except ValueError as e:
-                    print(f"BD-rate({fam} vs all-intra, {proto}): "
+                    print(f"BD-rate({fam} vs {aname}, {proto}): "
                           f"n/a ({e})")
         report("fast vs base", base, ("dmc_fast", proto))
         report("mf5 vs base", base, ("dmc_mf5", proto))
