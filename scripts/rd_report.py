@@ -141,7 +141,7 @@ def main():
     # extend the anchor band downward so it overlaps the DMC curves).
     anchor: dict = {}
     cached = (Path(__file__).resolve().parent.parent
-              / "probes" / "intra_r4d_anchor.json")
+              / "probes" / "intra_anchor_cache.json")
     if cached.exists():
         doc = json.loads(cached.read_text())
         anchor.update(
@@ -154,7 +154,7 @@ def main():
     if intra and cached.exists():
         live_qs = {q for q, _, _ in intra} - cached_qs
         print(f"[anchor] {len(intra)} intra points "
-              f"({len(cached_qs & {q for q, _, _ in intra})} cached r4d, "
+              f"({len(cached_qs & {q for q, _, _ in intra})} cached, "
               f"live: {sorted(live_qs) or 'none'})")
     # Two anchor bands, reported side by side (docs/RD.md r5 "q2 budget
     # wrinkle"): the FULL band unions every trained intra point — the
