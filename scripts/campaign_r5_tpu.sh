@@ -64,7 +64,8 @@ log "relay alive; starting r5 TPU queue"
 probe() {  # $1 variant
   local v=$1
   local out=$REPO/probes/${v}_probe.json
-  if [ -s "$out" ] && grep -q '"metric"' "$out"; then
+  if [ -s "$out" ] && grep -q '"metric"' "$out" \
+     && ! grep -q cpu-fallback "$out"; then
     log "$v probe already landed; skipping"
   else
     log "$v speed probe (BENCH_PARTIAL from the fast4 export)"
