@@ -146,15 +146,16 @@ def main():
         doc = json.loads(cached.read_text())
         anchor.update(
             (p["q"], (p["q"], p["bpp"], p["psnr"])) for p in doc["points"])
-        cached_qs = set(anchor)
+    live_qs: set = set()
     for name in sorted(runs):
         if name.startswith("intra"):
-            anchor.update((q, (q, bpp, psnr)) for q, bpp, psnr in runs[name])
+            for q, bpp, psnr in runs[name]:
+                anchor[q] = (q, bpp, psnr)
+                live_qs.add(q)
     intra = sorted(anchor.values()) or None
     if intra and cached.exists():
-        live_qs = {q for q, _, _ in intra} - cached_qs
         print(f"[anchor] {len(intra)} intra points "
-              f"({len(cached_qs & {q for q, _, _ in intra})} cached, "
+              f"({len(intra) - len(live_qs)} cached, "
               f"live: {sorted(live_qs) or 'none'})")
     # Two anchor bands, reported side by side (docs/RD.md r5 "q2 budget
     # wrinkle"): the FULL band unions every trained intra point — the
