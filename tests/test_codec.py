@@ -235,18 +235,25 @@ class TestParallelEvaluation:
         for s in (3, 9):
             serial[s] = evaluate_video(
                 dmc_codec, intra_codec, seq(s),
-                bits_path=tmp_path / f"serial_{s}.bits", gop=4)
+                bits_path=tmp_path / f"serial_{s}.bits", gop=4,
+                per_frame=True)
 
         stats = evaluate_sequences_parallel(
             dmc_codec, intra_codec,
             [(f"s{s}", seq(s), tmp_path / f"par_{s}.bits") for s in (3, 9)],
-            gop=4, streams=2)
+            gop=4, streams=2, per_frame=True)
 
         for s, st in zip((3, 9), stats):
             assert (tmp_path / f"par_{s}.bits").read_bytes() == \
                 (tmp_path / f"serial_{s}.bits").read_bytes()
             assert abs(st["psnr"] - serial[s]["psnr"]) < 1e-9
             assert st["bpp"] == serial[s]["bpp"]
+            # --per-frame contract on BOTH schedulers (the streams path
+            # silently dropped the flag before r5): identical PSNR
+            # trajectories, one wall-time sample per frame
+            assert st["psnr_per_frame"] == serial[s]["psnr_per_frame"]
+            assert len(st["sec_per_frame"]) == st["frames"]
+            assert len(serial[s]["sec_per_frame"]) == serial[s]["frames"]
 
 
 class TestOddResolution:
