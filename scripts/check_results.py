@@ -38,8 +38,12 @@ def main() -> int:
         return 1
     try:
         records = json.loads(p.read_text())
-        good = [r for r in records
-                if isinstance(r, dict) and not r.get("warning")]
+        # count UNIQUE videos: append-semantics re-runs can duplicate a
+        # sequence's record, and N duplicates of one video are still a
+        # partial result, not a complete dataset point
+        good = {r.get("video", i) for i, r in enumerate(records)
+                if isinstance(r, dict) and not r.get("warning")
+                and "bpp" in r}
     except (json.JSONDecodeError, TypeError, AttributeError):
         good = None
     if good is not None and len(good) >= args.expect:
