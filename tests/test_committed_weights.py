@@ -69,7 +69,9 @@ def dmc_codec(request):
     from deepvideocodec_tpu.utils import restore_any_params
 
     name = os.path.basename(request.param)
-    variant = next((v for v in ("fast4", "fast3", "fast2", "fast")
+    # longest-first: plain "fast" is a substring of every other rung
+    variant = next((v for v in ("fast6", "fast5", "fast4", "fast3",
+                                "fast2", "fast")
                     if v in name), "base")
     model = build_inter_model("dmc", variant)
     params = restore_any_params(
@@ -117,3 +119,33 @@ def test_dmc_trained_gop_bit_exact_and_small(intra_codec, dmc_codec, frames):
     # point codes the synthetic corpus at ~0.15 bpp (docs/RD.md). 4 bpp
     # leaves an order of magnitude of slack for out-of-corpus content.
     assert bpp < 4.0, f"trained P-frame rate not trained-like: {bpp} bpp"
+
+
+INTRA_EXPORTS = sorted(
+    os.path.abspath(p)
+    for p in _glob.glob(os.path.join(CKPT_DIR, "intra_q[0-9]*.npz")))
+
+
+@pytest.mark.parametrize(
+    "path", INTRA_EXPORTS, ids=[os.path.basename(p) for p in INTRA_EXPORTS])
+def test_intra_ladder_exports_restore_and_code(path, frames):
+    """Every committed intra rung (q2..q6 + provenance-tagged variants)
+    must restore into its per-q topology and produce a deterministic
+    trained-rate bitstream — format/architecture drift breaks loudly."""
+    import re
+
+    from deepvideocodec_tpu.models import intra_model_for_quality, fast_init
+    from deepvideocodec_tpu.eval.codec import IntraCodec
+    from deepvideocodec_tpu.utils import restore_any_params
+
+    q = int(re.search(r"intra_q(\d+)", os.path.basename(path)).group(1))
+    model, _ = intra_model_for_quality(q)
+    params = restore_any_params(
+        path, fast_init(model, jax.random.PRNGKey(0)))
+    codec = IntraCodec(model, params)
+    pay = codec.compress(frames[0])
+    rec = codec.decompress(pay["strings"], pay["shape"])
+    rec2 = codec.decompress(pay["strings"], pay["shape"])
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+    bpp = _nbytes(pay["strings"]) * 8 / (64 * 64)
+    assert bpp < 4.0, f"{os.path.basename(path)} rate not trained-like: {bpp}"
